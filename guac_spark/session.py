@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Local mode stands in for a multi-executor cluster; every conf below is the
+one we would ship to a 1000-executor cluster, with the local-only knobs
+(shuffle partitions ~ cores) computed from the requested parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "guac_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Cluster-minded defaults:
+      * AQE on (runtime coalescing, skew-join splitting) — celebrity-entity
+        and mega-conversation skew is first handled by explicit salting
+        (see cc.py / skew.py), AQE is the backstop.
+      * Arrow on — all per-turn text work is pandas/Arrow UDFs, never
+        row-at-a-time Python.
+      * session TZ pinned UTC so timestamps compare exactly against the
+        DuckDB oracle.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
