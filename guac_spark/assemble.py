@@ -1,0 +1,137 @@
+"""Graph assembly: dedup nouns, dedup verbs, deterministic content ids.
+
+The analog of GUAC's assembler + bulk ingest (/root/reference/pkg/assembler/
+assembler.go:196-547, clients/helpers/bulk.go:36-160): gather every entity
+appearing in any triple, dedup by canonical key, then materialize edges
+whose endpoints reference those canonical ids. GUAC needs two-phase ingest
+(nouns first to obtain backend ids, verbs second) and per-key locking; here
+identity is a pure function of content — vertex_id = sha2(canonical) — so
+both tables materialize embarrassingly parallel with plain dropDuplicates
+(mirrors ent's deterministic UUIDv5 keys,
+/root/reference/pkg/assembler/backends/ent/backend/helpers.go:198-200).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cc import apply_mapping
+from .extract import PRED_BY_KIND
+
+
+def resolve_surfaces(
+    df: DataFrame, alias_dict: DataFrame, cols: list[str], kind: str = "person"
+) -> DataFrame:
+    """Resolve surface columns to entity ids (dict hit else ent:unk/…)."""
+    d = F.broadcast(
+        alias_dict.filter(F.col("kind") == kind).select("alias", "entity_id")
+    )
+    out = df
+    for c in cols:
+        out = (
+            out.join(d.withColumnRenamed("alias", c), on=c, how="left")
+            .withColumn(
+                c,
+                F.coalesce(
+                    F.col("entity_id"), F.concat(F.lit("ent:unk/"), F.col(c))
+                ),
+            )
+            .drop("entity_id")
+        )
+    return out
+
+
+def triples_final(
+    linked_mentions: DataFrame, mapping: DataFrame
+) -> DataFrame:
+    """Canonical (conv_id, turn_idx, subj, pred, obj) triples, distinct.
+
+    subj is the turn ref; obj is the canonical entity (post CC merge) or a
+    turn ref for replies_to. This is the P/R surface checked against the
+    golden set (FIXTURES.md §3).
+    """
+    pred_map = F.create_map(
+        *[F.lit(x) for kv in PRED_BY_KIND.items() for x in kv]
+    )
+    t = linked_mentions.select(
+        "conv_id",
+        "turn_idx",
+        F.concat(
+            F.lit("turn:"),
+            F.col("conv_id"),
+            F.lit(":"),
+            F.col("turn_idx").cast("string"),
+        ).alias("subj"),
+        F.element_at(pred_map, F.col("kind")).alias("pred"),
+        F.when(
+            F.col("kind") == "reply",
+            F.concat(
+                F.lit("turn:"),
+                F.col("conv_id"),
+                F.lit(":"),
+                F.col("surface"),
+            ),
+        )
+        .otherwise(F.col("entity_id"))
+        .alias("obj"),
+    )
+    t = apply_mapping(t, mapping, ["obj"])
+    return t.dropDuplicates(["conv_id", "turn_idx", "subj", "pred", "obj"])
+
+
+def vertices(triples: DataFrame) -> DataFrame:
+    """Deduplicated vertex table: (vertex_id, kind, canonical).
+
+    Noun gathering analog (assembler.go:196-308): union of every subject and
+    object, dedup on canonical key, deterministic sha2 id.
+    """
+    nodes = (
+        triples.select(F.col("subj").alias("canonical"))
+        .unionByName(triples.select(F.col("obj").alias("canonical")))
+        .dropDuplicates(["canonical"])
+    )
+    kind = (
+        F.when(F.col("canonical").startswith("turn:"), F.lit("turn"))
+        .otherwise(F.regexp_extract("canonical", r"^ent:([a-z]+)/", 1))
+    )
+    return nodes.select(
+        F.sha2(F.col("canonical"), 256).alias("vertex_id"),
+        kind.alias("kind"),
+        "canonical",
+    )
+
+
+def edges(triples: DataFrame) -> DataFrame:
+    """Deduplicated edge table with provenance.
+
+    Verb identity = hash of all fields, mirroring GUAC's edge dedup key
+    (/root/reference/pkg/assembler/backends/keyvalue/isDependency.go:46-56);
+    provenance columns origin/document_ref mirror graph_builder.go:62-156.
+    """
+    e = triples.select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        "pred",
+        F.col("conv_id").alias("origin"),
+        F.concat(
+            F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+        ).alias("document_ref"),
+    )
+    e = e.withColumn(
+        "edge_id",
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("src"),
+                F.col("pred"),
+                F.col("dst"),
+                F.col("origin"),
+                F.col("document_ref"),
+            ),
+            256,
+        ),
+    )
+    return e.dropDuplicates(["edge_id"]).select(
+        "edge_id", "src", "dst", "pred", "origin", "document_ref"
+    )

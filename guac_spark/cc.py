@@ -1,0 +1,116 @@
+"""Connected components: hash-partitioned min-label propagation.
+
+Canonicalization merge — the physical realization of GUAC's equivalence
+verbs (PkgEqual/HashEqual/VulnEqual, /root/reference/pkg/assembler/backends/
+keyvalue/pkgEqual.go), which GUAC keeps as edges and resolves at query time;
+the north rule requires merging duplicate subjects/objects *before*
+materializing, so we compute components over the same_as/link edge set and
+rewrite every triple endpoint to its component's canonical id.
+
+Algorithm: iterative min-label propagation —
+    label(v) <- min(label(v), min over neighbors u of label(u))
+repeated until fixpoint. Deterministic: the winner is the lexicographically
+smallest node id in the component, independent of partition order or
+parallelism ('ent:org/...' style canonical ids sort before provisional
+'ent:unk/...' ids, so a merged component is always named by its dictionary
+entity). Iterations are driver-controlled with localCheckpoint between
+rounds to cut lineage (SURVEY.md §4 item 2).
+
+Skew: min() per node uses salted two-level aggregation (skew.py) so a
+celebrity node with millions of incident edges never lands on a single
+reducer. Convergence is O(component diameter) rounds; transcript same_as
+chains are short (<= a few hops), and max_iter guards the pathological case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .skew import salted_agg
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Compute components of the undirected graph given by (src, dst) rows.
+
+    Returns (node string, component string) for every node appearing in
+    `edges`; `component` is the min node id of its component. Nodes not in
+    any edge are simply absent (callers treat missing as identity).
+    """
+    spark = edges.sparkSession
+    # undirected: both directions, plus self rows so isolated endpoints keep
+    # a label
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+    )
+    e = e.repartition("a").localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate labels flowing across edges: neighbor's current label
+        nbr = (
+            e.join(labels.withColumnRenamed("node", "b"), on="b")
+            .select(F.col("a").alias("node"), "label")
+        )
+        # salted two-level min — hot nodes spread over n_salts reducers
+        new_min = salted_agg(
+            nbr.unionByName(labels),
+            keys=["node"],
+            aggs={"label": "min"},
+            n_salts=n_salts,
+        ).withColumnRenamed("min_label", "new_label")
+        changed_df = (
+            new_min.join(labels, on="node")
+            .filter(F.col("new_label") != F.col("label"))
+        )
+        changed = changed_df.limit(1).count()
+        labels = (
+            new_min.select("node", F.col("new_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def apply_mapping(
+    df: DataFrame, mapping: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Rewrite id columns through the component mapping (identity on miss).
+
+    The mapping (distinct entities) is orders of magnitude smaller than the
+    triple stream — broadcast it so the rewrite never shuffles the stream.
+    """
+    out = df
+    m = F.broadcast(mapping)
+    for c in cols:
+        out = (
+            out.join(
+                m.withColumnRenamed("node", c).withColumnRenamed(
+                    "component", f"_cc_{c}"
+                ),
+                on=c,
+                how="left",
+            )
+            .withColumn(c, F.coalesce(F.col(f"_cc_{c}"), F.col(c)))
+            .drop(f"_cc_{c}")
+        )
+    return out

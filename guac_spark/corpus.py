@@ -108,7 +108,8 @@ SELECT
       || CASE WHEN n.turn_idx > 0
               THEN ' >>' || cast(n.turn_idx - 1 AS STRING) ELSE '' END
       || CASE WHEN n.event_id % 7 = 0
-              THEN ' per @mystery-guest-' || cast(n.event_id % 5 AS STRING)
+              THEN ' per @mystery-guest-'
+                   || substr('abcde', cast(n.event_id % 5 AS INT) + 1, 1)
               ELSE '' END
     WHEN 'view' THEN
       'comparing @' || a1.alias || ' with @' || a2.alias

@@ -1,0 +1,182 @@
+"""Per-turn mention detection + triple extraction.
+
+The analog of GUAC's parser registry (/root/reference/pkg/ingestor/parser/
+parser.go:42-56): each parser there is a pure function blob -> predicates;
+here each turn's `text` maps to (subj, pred, obj) surface candidates under a
+closed mention grammar (corpus.py). Two interchangeable engines:
+
+  * engine='arrow'  — mapInPandas batch extractor (the north-rule shape:
+    vectorized pandas/Arrow UDFs, no per-row Python loops; pandas .str ops
+    over whole Arrow batches).
+  * engine='sql'    — pure JVM path: F.regexp_extract_all + explode, stays
+    inside whole-stage codegen. Semantically identical (tests assert it);
+    at 100 TB this path avoids the Arrow transfer entirely, so the pipeline
+    exposes both and bench.py measures them against each other.
+
+Stable (conv_id, turn_idx) ordering is preserved by keying every emission
+with (conv_id, turn_idx); no operator here depends on partition order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# mention grammar — shared by both engines and by the DuckDB oracle.
+# Keep to the regex subset with identical semantics in java.util.regex,
+# RE2 (DuckDB), and Python re: char classes + single groups.
+PERSON_RE = r"@([a-z][a-z-]*)"
+TOPIC_RE = r"#(topic_[0-9]+)"
+TOOL_RE = r"tool:([a-z_]+)"
+REPLY_RE = r">>([0-9]+)"
+AKA_RE = r"@([a-z][a-z-]*) aka @([a-z][a-z-]*)"
+
+MENTION_PATTERNS: list[tuple[str, str]] = [
+    ("person", PERSON_RE),
+    ("topic", TOPIC_RE),
+    ("tool", TOOL_RE),
+    ("reply", REPLY_RE),
+]
+
+MENTIONS_SCHEMA = "conv_id string, turn_idx int, kind string, surface string"
+AKA_SCHEMA = (
+    "conv_id string, turn_idx int, surface_a string, surface_b string"
+)
+
+# predicate vocabulary (FIXTURES.md §3) — the analog of GUAC's 17 verb types
+# (/root/reference/pkg/assembler/assembler.go:31-49)
+PRED_BY_KIND = {
+    "person": "mentions",
+    "topic": "about",
+    "tool": "uses_tool",
+    "reply": "replies_to",
+}
+
+
+def _extract_mentions_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        outs = []
+        for kind, pat in MENTION_PATTERNS:
+            found = pdf["text"].str.findall(pat)
+            e = pdf[["conv_id", "turn_idx"]].copy()
+            e["kind"] = kind
+            e["surface"] = found
+            e = e.explode("surface")
+            e = e[e["surface"].notna()]
+            outs.append(e[["conv_id", "turn_idx", "kind", "surface"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["surface"] = out["surface"].astype(str)
+        yield out
+
+
+def _extract_aka_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        found = pdf["text"].str.findall(AKA_RE)
+        e = pdf[["conv_id", "turn_idx"]].copy()
+        e["pair"] = found
+        e = e.explode("pair")
+        e = e[e["pair"].notna()]
+        if len(e):
+            e["surface_a"] = e["pair"].str[0]
+            e["surface_b"] = e["pair"].str[1]
+        else:
+            e["surface_a"] = pd.Series(dtype=str)
+            e["surface_b"] = pd.Series(dtype=str)
+        yield e[["conv_id", "turn_idx", "surface_a", "surface_b"]]
+
+
+def extract_mentions(transcripts: DataFrame, engine: str = "arrow") -> DataFrame:
+    """(conv_id, turn_idx, kind, surface) — one row per mention occurrence."""
+    if engine == "arrow":
+        cols = transcripts.select("conv_id", "turn_idx", "text")
+        return cols.mapInPandas(_extract_mentions_batch, MENTIONS_SCHEMA)
+    if engine == "sql":
+        parts = []
+        for kind, pat in MENTION_PATTERNS:
+            parts.append(
+                transcripts.select(
+                    "conv_id",
+                    "turn_idx",
+                    F.lit(kind).alias("kind"),
+                    F.explode(
+                        F.regexp_extract_all("text", F.lit(pat), F.lit(1))
+                    ).alias("surface"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def extract_aka_pairs(transcripts: DataFrame, engine: str = "arrow") -> DataFrame:
+    """(conv_id, turn_idx, surface_a, surface_b) for '@a aka @b' patterns."""
+    if engine == "arrow":
+        cols = transcripts.select("conv_id", "turn_idx", "text")
+        return cols.mapInPandas(_extract_aka_batch, AKA_SCHEMA)
+    if engine == "sql":
+        a = F.regexp_extract("text", AKA_RE, 1)
+        b = F.regexp_extract("text", AKA_RE, 2)
+        return (
+            transcripts.select(
+                "conv_id",
+                "turn_idx",
+                a.alias("surface_a"),
+                b.alias("surface_b"),
+            )
+            .filter(F.col("surface_a") != "")
+        )
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def turn_ref(conv_col, idx_col):
+    return F.concat(F.lit("turn:"), conv_col, F.lit(":"), idx_col.cast("string"))
+
+
+def triples_surface(mentions: DataFrame, aka: DataFrame) -> DataFrame:
+    """Raw surface-level triples, pre-linking (the IngestPredicates analog,
+    /root/reference/pkg/assembler/assembler.go:31-49).
+
+    Columns: conv_id, turn_idx, subj_kind, subj, pred, obj_kind, obj.
+    subj_kind 'turn' means subj is a turn ref; 'person' means a surface
+    still to be linked. reply objects are materialized turn refs.
+    """
+    m = mentions.select(
+        "conv_id",
+        "turn_idx",
+        F.lit("turn").alias("subj_kind"),
+        turn_ref(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in PRED_BY_KIND.items() for x in kv]
+            ),
+            F.col("kind"),
+        ).alias("pred"),
+        F.col("kind").alias("obj_kind"),
+        F.when(
+            F.col("kind") == "reply",
+            turn_ref(F.col("conv_id"), F.col("surface").cast("int")),
+        )
+        .otherwise(F.col("surface"))
+        .alias("obj"),
+    )
+    s = aka.select(
+        "conv_id",
+        "turn_idx",
+        F.lit("person").alias("subj_kind"),
+        F.col("surface_a").alias("subj"),
+        F.lit("same_as").alias("pred"),
+        F.lit("person").alias("obj_kind"),
+        F.col("surface_b").alias("obj"),
+    )
+    return m.unionByName(s).dropDuplicates(
+        ["conv_id", "turn_idx", "subj_kind", "subj", "pred", "obj_kind", "obj"]
+    )

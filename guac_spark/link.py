@@ -1,0 +1,212 @@
+"""Entity linking: broadcast alias-dictionary join + MinHash-LSH tail.
+
+GUAC links strings to identity deterministically via pURLs
+(/root/reference/pkg/assembler/helpers/purl.go:37-44): same canonical string
+=> same node. Head aliases here work the same way — an exact broadcast join
+against the alias dictionary. The transcript domain adds a long tail of
+near-duplicate surfaces the dictionary doesn't know; those are blocked with
+MinHash-LSH over character 3-grams, verified with exact Jaccard, and linked
+to their best dictionary alias. The output links feed connected-components
+canonicalization (cc.py), mirroring GUAC's PkgEqual/HashEqual equivalence
+semantics (/root/reference/pkg/assembler/backends/keyvalue/pkgEqual.go) but
+physically merged per the north rule.
+
+Scale notes (100 TB):
+  * the dictionary is small — always broadcast; the mention side never
+    shuffles for the head join.
+  * LSH runs over DISTINCT unmatched surfaces (a tiny fraction of mentions),
+    so the expensive pairwise work is decoupled from corpus size.
+  * banding bounds candidate pairs; an additional deterministic prefix block
+    guarantees recall for edit-distance-1/2 tails independently of MinHash
+    luck (multi-blocking — recall is a correctness gate here, P/R >= 0.95).
+  * celebrity aliases are hot keys only on the mention side of a broadcast
+    join — no shuffle, no skew. Hot-key aggregation downstream uses salted
+    two-level aggs (skew.py).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- deterministic MinHash parameters (frozen for P/R reproducibility,
+#     the analog of GUAC's fixed FNV node keys,
+#     /root/reference/pkg/assembler/backends/keyvalue/backend.go:375-388) ---
+N_HASHES = 32
+N_BANDS = 16  # 2 rows per band
+_PRIME = 2_147_483_647
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, _PRIME, size=N_HASHES).astype(np.int64)
+_B = _rng.randint(0, _PRIME, size=N_HASHES).astype(np.int64)
+
+NGRAM = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def _ngrams(s: str) -> set[str]:
+    if len(s) < NGRAM:
+        return {s}
+    return {s[i : i + NGRAM] for i in range(len(s) - NGRAM + 1)}
+
+
+def _minhash_sig(s: str) -> np.ndarray:
+    grams = _ngrams(s)
+    vals = np.array(
+        [zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.int64
+    )
+    # (a*x + b) mod p for each hash fn; min over grams
+    hashed = (np.outer(_A, vals) + _B[:, None]) % _PRIME  # [n_hashes, n_grams]
+    return hashed.min(axis=1)
+
+
+def _band_rows(surfaces: pd.Series, side: str) -> pd.DataFrame:
+    rows = []
+    rows_per_band = N_HASHES // N_BANDS
+    for s in surfaces:
+        sig = _minhash_sig(s)
+        for b in range(N_BANDS):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            key = zlib.crc32(("|".join(map(str, chunk))).encode())
+            rows.append((s, b, int(key)))
+    return pd.DataFrame(rows, columns=[side, "band", "band_key"])
+
+
+def _exact_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = np.empty(len(a), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(a, b)):
+        gx, gy = _ngrams(x), _ngrams(y)
+        out[i] = len(gx & gy) / len(gx | gy)
+    return pd.Series(out)
+
+
+def jaccard_udf():
+    # created lazily: pandas_udf needs an active SparkSession at definition
+    return F.pandas_udf(_exact_jaccard, "double")
+
+
+def link_exact(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Head linking: broadcast exact-match join against the dictionary.
+
+    Adds `entity_id`: dictionary id on hit, 'ent:unk/<surface>' provisional
+    id on miss (the analog of GUAC's guac-purl fallback fabrication,
+    /root/reference/pkg/assembler/helpers/purl.go:272-295). 'reply' mentions
+    are already canonical turn refs and pass through.
+    """
+    d = alias_dict.select(
+        F.col("alias"), F.col("entity_id").alias("_dict_entity"), F.col("kind")
+    )
+    joined = mentions.join(
+        F.broadcast(d),
+        on=[mentions["surface"] == d["alias"], mentions["kind"] == d["kind"]],
+        how="left",
+    ).drop("alias", d["kind"])
+    return joined.withColumn(
+        "entity_id",
+        F.when(F.col("kind") == "reply", F.col("surface")).otherwise(
+            F.coalesce(
+                F.col("_dict_entity"),
+                F.concat(F.lit("ent:unk/"), F.col("surface")),
+            )
+        ),
+    ).drop("_dict_entity")
+
+
+def _minhash_bands(df: DataFrame, col: str) -> DataFrame:
+    """Distinct strings -> (string, band, band_key) via mapInPandas."""
+    schema = f"{col} string, band int, band_key long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _band_rows(pdf[col], col)
+
+    return df.select(col).distinct().mapInPandas(gen, schema)
+
+
+def lsh_candidate_pairs(
+    unmatched: DataFrame, dict_aliases: DataFrame
+) -> DataFrame:
+    """Candidate (surface, alias) pairs via MinHash-LSH banding plus a
+    deterministic prefix block (first 2 chars + coarse length bucket).
+
+    Both inputs are distinct single-column DataFrames: unmatched('surface'),
+    dict_aliases('alias').
+    """
+    sb = _minhash_bands(unmatched, "surface")
+    ab = _minhash_bands(dict_aliases, "alias")
+    lsh = (
+        sb.join(F.broadcast(ab), on=["band", "band_key"])
+        .select("surface", "alias")
+        .distinct()
+    )
+    # prefix block: recall backstop for short strings / unlucky banding
+    pb_s = unmatched.select(
+        "surface",
+        F.substring("surface", 1, 2).alias("pfx"),
+        (F.length("surface") / 4).cast("int").alias("lb"),
+    )
+    pb_a = dict_aliases.select(
+        "alias",
+        F.substring("alias", 1, 2).alias("pfx"),
+        (F.length("alias") / 4).cast("int").alias("lb"),
+    )
+    pfx = (
+        pb_s.join(F.broadcast(pb_a), on=["pfx"])
+        .filter(F.abs(pb_s["lb"] - pb_a["lb"]) <= 1)
+        .select("surface", "alias")
+    )
+    return lsh.unionByName(pfx).distinct()
+
+
+def link_tail(
+    unmatched: DataFrame,
+    alias_dict: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Link unmatched surfaces to their best dictionary alias.
+
+    Returns (src, dst) same_as link edges:
+    ('ent:unk/<surface>', '<dict entity_id>'), one per surface (argmax
+    Jaccard >= threshold, ties broken by min alias — deterministic under
+    any parallelism).
+    """
+    persons = alias_dict.filter(F.col("kind") == "person").select(
+        "alias", "entity_id"
+    )
+    cands = lsh_candidate_pairs(
+        unmatched.select("surface").distinct(),
+        persons.select("alias").distinct(),
+    )
+    scored = cands.withColumn(
+        "jacc", jaccard_udf()(F.col("surface"), F.col("alias"))
+    ).filter(F.col("jacc") >= F.lit(threshold))
+    # deterministic argmax per surface (ties -> min alias)
+    w_best = (
+        scored.groupBy("surface")
+        .agg(F.max("jacc").alias("best_jacc"))
+        .join(scored, on="surface")
+        .filter(F.col("jacc") == F.col("best_jacc"))
+        .groupBy("surface")
+        .agg(F.min("alias").alias("alias"))
+    )
+    return (
+        w_best.join(F.broadcast(persons), on="alias")
+        .select(
+            F.concat(F.lit("ent:unk/"), F.col("surface")).alias("src"),
+            F.col("entity_id").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def unmatched_surfaces(linked_mentions: DataFrame) -> DataFrame:
+    """Distinct provisional surfaces needing tail linking."""
+    return (
+        linked_mentions.filter(F.col("entity_id").startswith("ent:unk/"))
+        .select("surface")
+        .distinct()
+    )

@@ -1,0 +1,325 @@
+"""DuckDB oracle SQL for every driver-checked query.
+
+Each entry regenerates the full KG chain (corpus -> mentions -> linking ->
+LSH-tail ground truth -> connected components -> triples/vertices/edges)
+in pure SQL from the same parquet views the Spark side reads, so the
+driver's row-count + schema + value-hash comparison is an end-to-end
+semantic gate, not a smoke check. The tail-linking oracle computes exact
+3-gram Jaccard relationally (the ground truth MinHash-LSH must recover);
+connected components use a recursive-CTE transitive closure.
+
+Dialect notes: common-subset SQL where shared with Spark (corpus.py);
+DuckDB-only features (unnest, recursive CTE, epoch_us) are fine here
+because these strings run only in DuckDB.
+"""
+
+from __future__ import annotations
+
+from .corpus import CORPUS_SQL, PERSONS, N_TOPICS, TOOLS
+from .extract import AKA_RE, PERSON_RE, REPLY_RE, TOOL_RE, TOPIC_RE
+
+
+def _alias_base_cte() -> str:
+    rows = ", ".join(f"({i}, '{a}')" for i, a in enumerate(PERSONS))
+    return f"alias_base(pid, alias) AS (SELECT * FROM (VALUES {rows}))"
+
+
+def _alias_dict_cte() -> str:
+    rows = [(a, f"ent:person/{a}", "person", 1.0) for a in PERSONS]
+    rows += [(f"topic_{k}", f"ent:topic/topic_{k}", "topic", 1.0)
+             for k in range(N_TOPICS)]
+    rows += [(t, f"ent:tool/{t}", "tool", 1.0) for t in TOOLS]
+    rendered = ", ".join(f"('{al}', '{e}', '{k}', {p})"
+                         for al, e, k, p in rows)
+    return (
+        "alias_dict(alias, entity_id, kind, prior) AS "
+        f"(SELECT * FROM (VALUES {rendered}))"
+    )
+
+
+# the full KG chain as a WITH RECURSIVE prelude; every oracle query is
+# "<PRELUDE> SELECT ... FROM <some cte>".
+KG_PRELUDE = f"""
+WITH RECURSIVE
+{_alias_base_cte()},
+{_alias_dict_cte()},
+transcripts AS (
+{CORPUS_SQL.strip()}
+),
+mentions AS (
+  SELECT conv_id, turn_idx, 'person' AS kind,
+         unnest(regexp_extract_all(text, '{PERSON_RE}', 1)) AS surface
+  FROM transcripts
+  UNION ALL
+  SELECT conv_id, turn_idx, 'topic',
+         unnest(regexp_extract_all(text, '{TOPIC_RE}', 1))
+  FROM transcripts
+  UNION ALL
+  SELECT conv_id, turn_idx, 'tool',
+         unnest(regexp_extract_all(text, '{TOOL_RE}', 1))
+  FROM transcripts
+  UNION ALL
+  SELECT conv_id, turn_idx, 'reply',
+         unnest(regexp_extract_all(text, '{REPLY_RE}', 1))
+  FROM transcripts
+),
+aka AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract(text, '{AKA_RE}', 1) AS surface_a,
+         regexp_extract(text, '{AKA_RE}', 2) AS surface_b
+  FROM transcripts
+  WHERE regexp_matches(text, '{AKA_RE}')
+),
+linked AS (
+  SELECT m.conv_id, m.turn_idx, m.kind, m.surface,
+         CASE WHEN m.kind = 'reply' THEN m.surface
+              ELSE coalesce(d.entity_id, 'ent:unk/' || m.surface)
+         END AS entity_id
+  FROM mentions m
+  LEFT JOIN alias_dict d ON d.alias = m.surface AND d.kind = m.kind
+),
+unmatched AS (
+  SELECT DISTINCT surface FROM linked WHERE entity_id LIKE 'ent:unk/%'
+),
+s_grams AS (
+  SELECT DISTINCT surface, substr(surface, cast(i AS INT), 3) AS g
+  FROM unmatched, range(1, 64) t(i)
+  WHERE i <= greatest(length(surface) - 2, 1)
+),
+a_grams AS (
+  SELECT DISTINCT alias, substr(alias, cast(i AS INT), 3) AS g
+  FROM alias_dict, range(1, 64) t(i)
+  WHERE kind = 'person' AND i <= greatest(length(alias) - 2, 1)
+),
+s_size AS (SELECT surface, count(*) AS ns FROM s_grams GROUP BY 1),
+a_size AS (SELECT alias, count(*) AS na FROM a_grams GROUP BY 1),
+jacc AS (
+  SELECT j.surface, j.alias,
+         cast(j.common AS DOUBLE) / (s.ns + a.na - j.common) AS jc
+  FROM (
+    SELECT sg.surface, ag.alias, count(*) AS common
+    FROM s_grams sg JOIN a_grams ag ON sg.g = ag.g
+    GROUP BY 1, 2
+  ) j
+  JOIN s_size s USING (surface)
+  JOIN a_size a USING (alias)
+),
+tail_links AS (
+  SELECT 'ent:unk/' || surface AS src, 'ent:person/' || alias AS dst
+  FROM (
+    SELECT surface, alias,
+           row_number() OVER (PARTITION BY surface
+                              ORDER BY jc DESC, alias) AS rn
+    FROM jacc WHERE jc >= 0.5
+  ) WHERE rn = 1
+),
+aka_links AS (
+  SELECT coalesce(d1.entity_id, 'ent:unk/' || a.surface_a) AS src,
+         coalesce(d2.entity_id, 'ent:unk/' || a.surface_b) AS dst
+  FROM aka a
+  LEFT JOIN alias_dict d1 ON d1.alias = a.surface_a AND d1.kind = 'person'
+  LEFT JOIN alias_dict d2 ON d2.alias = a.surface_b AND d2.kind = 'person'
+),
+equivalences AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT * FROM tail_links UNION ALL SELECT * FROM aka_links
+  ) WHERE src <> dst
+),
+und AS (
+  SELECT src AS a, dst AS b FROM equivalences
+  UNION
+  SELECT dst AS a, src AS b FROM equivalences
+),
+reach AS (
+  SELECT a AS node, b AS peer FROM und
+  UNION
+  SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.peer
+),
+cc_mapping AS (
+  SELECT node, least(node, min(peer)) AS component
+  FROM reach GROUP BY node
+),
+triples AS (
+  SELECT DISTINCT l.conv_id, l.turn_idx,
+         'turn:' || l.conv_id || ':' || cast(l.turn_idx AS STRING) AS subj,
+         CASE l.kind WHEN 'person' THEN 'mentions'
+                     WHEN 'topic' THEN 'about'
+                     WHEN 'tool' THEN 'uses_tool'
+                     ELSE 'replies_to' END AS pred,
+         CASE WHEN l.kind = 'reply'
+              THEN 'turn:' || l.conv_id || ':' || l.surface
+              ELSE coalesce(c.component, l.entity_id) END AS obj
+  FROM linked l
+  LEFT JOIN cc_mapping c ON c.node = l.entity_id
+),
+vertices AS (
+  SELECT sha256(canonical) AS vertex_id,
+         CASE WHEN canonical LIKE 'turn:%' THEN 'turn'
+              ELSE regexp_extract(canonical, '^ent:([a-z]+)/', 1)
+         END AS kind,
+         canonical
+  FROM (
+    SELECT DISTINCT subj AS canonical FROM triples
+    UNION
+    SELECT DISTINCT obj FROM triples
+  )
+),
+edges AS (
+  SELECT DISTINCT
+         sha256(subj || '|' || pred || '|' || obj || '|' || conv_id || '|'
+                || conv_id || ':' || cast(turn_idx AS STRING)) AS edge_id,
+         subj AS src, obj AS dst, pred,
+         conv_id AS origin,
+         conv_id || ':' || cast(turn_idx AS STRING) AS document_ref
+  FROM triples
+)
+"""
+
+SEED_ENTITY = "ent:person/grace-hopper"
+CELEB_ENTITY = "ent:person/ada-lovelace"
+PATH_TARGET = "ent:topic/topic_7"
+BFS_HOPS = 3
+STALE_CUTOFF = "2024-06-01 00:00:00"
+
+KG_ORACLES: dict[str, str] = {
+    "q_transcripts": KG_PRELUDE + """
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM transcripts
+""",
+    "q_mentions": KG_PRELUDE + """
+SELECT conv_id, turn_idx, kind, surface FROM mentions
+""",
+    "q_linked_mentions": KG_PRELUDE + """
+SELECT DISTINCT kind, surface, entity_id FROM linked
+""",
+    "q_equivalences": KG_PRELUDE + """
+SELECT src, dst FROM equivalences
+""",
+    "q_cc_mapping": KG_PRELUDE + """
+SELECT node, component FROM cc_mapping
+""",
+    "q_triples": KG_PRELUDE + """
+SELECT conv_id, turn_idx, subj, pred, obj FROM triples
+""",
+    "q_vertices": KG_PRELUDE + """
+SELECT vertex_id, kind, canonical FROM vertices
+""",
+    "q_edges": KG_PRELUDE + """
+SELECT edge_id, src, dst, pred, origin, document_ref FROM edges
+""",
+    "q_neighbors": KG_PRELUDE + f"""
+SELECT v.vertex_id, v.kind, v.canonical, n.pred
+FROM (
+  SELECT DISTINCT dst AS nbr, pred FROM edges WHERE src = '{SEED_ENTITY}'
+  UNION
+  SELECT DISTINCT src AS nbr, pred FROM edges WHERE dst = '{SEED_ENTITY}'
+) n JOIN vertices v ON v.canonical = n.nbr
+""",
+    "q_bfs": KG_PRELUDE + f""",
+adj AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+walk AS (
+  SELECT '{SEED_ENTITY}' AS node, 0 AS dist
+  UNION
+  SELECT adj.b, walk.dist + 1
+  FROM walk JOIN adj ON adj.a = walk.node
+  WHERE walk.dist < {BFS_HOPS}
+)
+SELECT node, cast(min(dist) AS INT) AS dist FROM walk GROUP BY node
+""",
+    "q_toposort": KG_PRELUDE + """,
+dag AS (
+  SELECT DISTINCT src AS child, dst AS parent FROM edges
+  WHERE pred = 'replies_to'
+),
+alln AS (
+  SELECT child AS node FROM dag UNION SELECT parent FROM dag
+),
+depth AS (
+  SELECT node, 0 AS d FROM alln
+  WHERE node NOT IN (SELECT child FROM dag)
+  UNION
+  SELECT dag.child, depth.d + 1
+  FROM depth JOIN dag ON dag.parent = depth.node
+)
+SELECT node, cast(max(d) AS INT) AS level FROM depth GROUP BY node
+""",
+    "q_topdeps": KG_PRELUDE + """
+SELECT dst AS entity, count(*) AS n_mentions
+FROM edges WHERE pred = 'mentions'
+GROUP BY dst ORDER BY n_mentions DESC, entity LIMIT 10
+""",
+    "q_known": KG_PRELUDE + f"""
+SELECT pred, count(*) AS n_edges FROM edges
+WHERE src = '{CELEB_ENTITY}' OR dst = '{CELEB_ENTITY}'
+GROUP BY pred
+""",
+    "q_conv_rollup": KG_PRELUDE + """
+SELECT origin AS conv_id,
+       count(DISTINCT edge_id) AS n_edges,
+       count(DISTINCT dst) AS n_entities
+FROM edges GROUP BY origin
+""",
+    "q_stale": KG_PRELUDE + f"""
+SELECT obj AS entity, epoch_us(max(ts)) AS last_seen_us
+FROM triples t JOIN transcripts tr USING (conv_id, turn_idx)
+WHERE t.pred = 'mentions'
+GROUP BY obj
+HAVING max(ts) < TIMESTAMP '{STALE_CUTOFF}'
+""",
+    "q_find_software": KG_PRELUDE + """
+SELECT vertex_id, kind, canonical FROM vertices
+WHERE canonical LIKE '%lovel%'
+""",
+    "q_page": KG_PRELUDE + """
+SELECT vertex_id, kind, canonical FROM vertices
+WHERE vertex_id > '8' ORDER BY vertex_id LIMIT 20
+""",
+    "q_blob_dedup": KG_PRELUDE + """
+SELECT role, count(DISTINCT sha256(text)) AS n_distinct_texts
+FROM transcripts GROUP BY role
+""",
+    "q_role_dist": KG_PRELUDE + """
+SELECT role, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+FROM transcripts GROUP BY role
+""",
+}
+
+# --- non-KG oracles (events / documents / embeddings) ----------------------
+
+AUX_ORACLES: dict[str, str] = {
+    "q_keep_latest": """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+       round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    "q_validate_json": """
+SELECT cast(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+       count(*) AS n
+FROM events
+WHERE json_valid(props)
+GROUP BY 1
+""",
+    "q_sessionize": """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 24 HOUR OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, cast(sum(new_sess) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+""",
+}
+
+ORACLES: dict[str, str] = {**KG_ORACLES, **AUX_ORACLES}

@@ -1,0 +1,240 @@
+"""Deduplication operators over the documents table.
+
+Five dedup families, each a distinct scale strategy:
+  * exact         — content hash + groupBy (one shuffle on a uniform key);
+  * MinHash-LSH   — banded signatures -> candidate join -> exact-Jaccard
+                    verify (near-linear; candidates ≪ n²);
+  * n-gram Jaccard— fully relational shared-token join (the pure-SQL path,
+                    exact, for moderate cardinalities);
+  * SimHash       — 64-bit sketch + banded Hamming blocking;
+  * embedding cos — vector near-dup via normalized dot product.
+
+The driver corpus has no natural duplicates, so `staged_documents` adds
+deterministic exact and near copies (SQL-expressible, mirrored by the
+DuckDB oracle) — the analog of GUAC's fixture corpus with known-duplicate
+documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .minhash import band_rows_df
+
+EXACT_COPY_OFFSET = 20000
+NEAR_COPY_OFFSET = 10000
+NEAR_SUFFIX = " zz extra zz"
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def staged_documents(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies (id%10==0) ∪ near copies (id%7==0)."""
+    base = docs.select("doc_id", "text")
+    exact = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + EXACT_COPY_OFFSET).alias("doc_id"), "text")
+    )
+    near = (
+        base.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + NEAR_COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+        )
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(text_hash, keeper_doc_id, n_copies): keep min id per content hash.
+
+    The blob-store sha256 dedupe analog
+    (/root/reference/pkg/events/events.go:77-80).
+    """
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def _shingles(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Distinct (doc_id, word n-gram shingle) rows — relational form.
+
+    Tokens are regexp words ([a-z]+), identical to the Python tokenizer in
+    minhash.py and to the DuckDB oracle, so all three agree on shingle sets.
+    """
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))
+    base = docs.select("doc_id", toks.alias("w")).filter(F.size("w") >= n)
+    if n == 1:
+        sh = F.explode("w").alias("shingle")
+    elif n == 2:
+        sh = F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("shingle")
+    else:
+        raise ValueError("only n in (1, 2) supported")
+    return base.select("doc_id", sh).distinct()
+
+
+def jaccard_pairs_relational(
+    docs: DataFrame, threshold: float, n: int = 2,
+    shingle_df: DataFrame | None = None
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs via shared-token join (a < b).
+
+    Plan: explode -> distinct -> self-join on shingle -> count common ->
+    join sizes -> filter. All JVM-side; the shingle join key is uniform
+    (word bigrams), so no skew handling needed. Candidate blow-up is the
+    scale limit — at 100 TB use minhash_pairs below instead.
+    """
+    sh = shingle_df if shingle_df is not None else _shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, on="a").join(sb, on="b")
+        .withColumn(
+            "jacc",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jacc") >= threshold)
+        .select("a", "b", F.round("jacc", 6).alias("jacc"))
+    )
+
+
+def minhash_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH banding + exact-Jaccard verification.
+
+    64 hashes / 32 bands × 2 rows: candidate probability at j=0.7 is
+    1-(1-0.49)^32 ≈ 1-4e-10 — misses are negligible, and every candidate is
+    verified exactly, so output precision is 1.0. Candidates are joined on
+    (band, band_key); verification reuses the relational Jaccard restricted
+    to candidate pairs.
+    """
+    bands = band_rows_df(docs, "doc_id", "text")
+    l = bands.select(F.col("doc_id").alias("a"), "band", "band_key")
+    r = bands.select(F.col("doc_id").alias("b"), "band", "band_key")
+    cand = (
+        l.join(r, on=["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        cand.join(sa, on="a")
+        .join(sb, on=["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(za, on="a").join(zb, on="b")
+        .withColumn(
+            "jacc",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jacc") >= threshold)
+        .select("a", "b", F.round("jacc", 6).alias("jacc"))
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    v = [0] * 64
+    for tok in re.findall(r"[a-z]+", text):
+        h = int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:8], "big"
+        )
+        for bit in range(64):
+            v[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if v[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash hex) via Arrow-batched pandas computation."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["simhash"] = [
+                format(_simhash64(t), "016x") for t in pdf["text"]
+            ]
+            yield out
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, simhash string"
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Hamming-near pairs via 4×16-bit band blocking (exact for d <= 3 by
+    pigeonhole; verified with true Hamming distance for the general cut)."""
+    sh = simhash(docs)
+    chunks = [
+        F.substring("simhash", 1 + 4 * i, 4).alias(f"c{i}") for i in range(4)
+    ]
+    sb = sh.select("doc_id", "simhash", *chunks)
+    pairs = None
+    for i in range(4):
+        l = sb.select(
+            F.col("doc_id").alias("a"),
+            F.col("simhash").alias("sa"),
+            F.col(f"c{i}").alias("blk"),
+        )
+        r = sb.select(
+            F.col("doc_id").alias("b"),
+            F.col("simhash").alias("sb"),
+            F.col(f"c{i}").alias("blk"),
+        )
+        p = l.join(r, on="blk").filter(F.col("a") < F.col("b")).select(
+            "a", "b", "sa", "sb"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+
+    # 64-bit values can exceed signed-long range via conv(); xor per
+    # 32-bit half instead, then sum popcounts.
+    def _half(col: str, i: int):
+        return F.conv(F.substring(col, 1 + 8 * i, 8), 16, 10).cast("long")
+
+    hamming = sum(
+        F.bit_count(_half("sa", i).bitwiseXOR(_half("sb", i)))
+        for i in range(2)
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,283 @@
+"""Driver queries() / oracle_sql() entries for the training-data operators."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dedup, quality, similarity
+
+QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+
+# staged corpora as DuckDB CTEs (mirror dedup.staged_documents /
+# similarity.staged_embeddings exactly)
+_SDOCS = """
+sdocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 10000, text || ' zz extra zz' FROM documents
+  WHERE doc_id % 7 = 0
+)
+"""
+
+_SEMB = """
+semb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(embedding,
+                        x -> cast(cast(x AS DOUBLE) * 1.001 AS FLOAT))
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
+
+_SHINGLES2 = """
+toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS w FROM sdocs),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[cast(i AS INT)] || ' ' || w[cast(i AS INT) + 1] AS shingle
+  FROM toks, range(1, 2000) r(i)
+  WHERE len(w) >= 2 AND i <= len(w) - 1
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _cos(a: str, b: str) -> str:
+    dp = f"list_dot_product({a}, {b})"
+    na = f"sqrt(list_dot_product({a}, {a}))"
+    nb = f"sqrt(list_dot_product({b}, {b}))"
+    return f"{dp} / ({na} * {nb})"
+
+
+ORACLES: dict[str, str] = {
+    "q_doc_dedup_exact": f"""
+WITH {_SDOCS.strip()}
+SELECT sha256(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM sdocs GROUP BY sha256(text)
+""",
+    "q_doc_minhash_pairs": f"""
+WITH {_SDOCS.strip()},
+{_SHINGLES2.strip()},
+co AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+       round(cast(common AS DOUBLE) / (za.n + zb.n - common), 6) AS jacc
+FROM co JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+WHERE cast(common AS DOUBLE) / (za.n + zb.n - common) >= 0.7
+""",
+    "q_doc_ngram_pairs": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS w
+  FROM documents WHERE doc_id < 100
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(w) AS shingle FROM toks WHERE len(w) >= 1
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+co AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+       round(cast(common AS DOUBLE) / (za.n + zb.n - common), 6) AS jacc
+FROM co JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+WHERE cast(common AS DOUBLE) / (za.n + zb.n - common) >= 0.8
+""",
+    "q_embed_neardup": f"""
+WITH {_SEMB.strip()},
+cast_emb AS (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM semb
+),
+scored AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, {_cos('x.v', 'y.v')} AS cos
+  FROM cast_emb x JOIN cast_emb y ON x.vec_id < y.vec_id
+)
+SELECT a, b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.99
+""",
+    "q_ann_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS vq
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS neighbor_id, cast(embedding AS DOUBLE[]) AS vc
+  FROM embeddings WHERE vec_id >= 5
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos('vq', 'vc')} AS cos FROM q, c
+)
+SELECT query_id, neighbor_id, cast(rank AS INT) AS rank,
+       round(cos, 6) AS cos
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    "q_embed_centroids": """
+SELECT e.label, cast(r.i AS INT) AS dim,
+       round(avg(cast(e.embedding[cast(r.i AS INT) + 1] AS DOUBLE)), 6)
+         AS centroid
+FROM embeddings e, range(0, 64) r(i)
+GROUP BY e.label, r.i
+""",
+    "q_token_stats": """
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(text, '[a-z]+') AS w
+  FROM documents
+)
+SELECT doc_id,
+       cast(len(w) AS BIGINT) AS n_tokens,
+       cast(len(list_distinct(w)) AS BIGINT) AS n_types,
+       cast(length(text) AS BIGINT) AS n_chars_seen,
+       cast(ceil(length(text) / 4) AS BIGINT) AS bpe_est
+FROM toks
+""",
+    "q_lang_id": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS w FROM documents
+),
+h AS (
+  SELECT doc_id, len(w) AS n,
+    len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS h_en,
+    len(list_filter(w, x -> list_contains(['el','la','de','los','que'], x))) AS h_es,
+    len(list_filter(w, x -> list_contains(['le','la','les','des','une'], x))) AS h_fr,
+    len(list_filter(w, x -> list_contains(['der','die','das','und','ein'], x))) AS h_de
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+            WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+            ELSE 'de' END AS lang_pred,
+       round(cast(greatest(h_en, h_es, h_fr, h_de) AS DOUBLE)
+             / greatest(n, 1), 6) AS confidence
+FROM h
+""",
+    "q_quality": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS w FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    len(w) AS n_tok,
+    len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+      AS stop,
+    len(list_distinct(w)) AS types,
+    cast(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS tot_len,
+    greatest(len(w), 1) AS safe_n
+  FROM toks
+)
+SELECT doc_id,
+  cast(n_tok AS BIGINT) AS n_tokens,
+  round(stop / safe_n, 6) AS stop_ratio,
+  round(types / safe_n, 6) AS type_token_ratio,
+  round(tot_len / safe_n, 6) AS avg_word_len,
+  round(0.4 * (types / safe_n)
+        + 0.3 * least((stop / safe_n) * 5, 1.0)
+        + 0.3 * least((tot_len / safe_n) / 8, 1.0), 6) AS score
+FROM feat
+""",
+    "q_fingerprint": """
+SELECT doc_id, md5(text) AS fp_full,
+       md5(substr(text, 1, 64)) AS fp_head
+FROM documents
+""",
+}
+
+
+def _q_doc_dedup_exact(spark, sf):
+    return dedup.exact_dedup(
+        dedup.staged_documents(dedup.load_documents(spark, sf))
+    )
+
+
+def _q_doc_minhash_pairs(spark, sf):
+    return dedup.minhash_pairs(
+        dedup.staged_documents(dedup.load_documents(spark, sf)), 0.7
+    )
+
+
+def _q_doc_ngram_pairs(spark, sf):
+    docs = dedup.load_documents(spark, sf).filter("doc_id < 100")
+    return dedup.jaccard_pairs_relational(docs, 0.8, n=1)
+
+
+def _q_doc_simhash(spark, sf):
+    return dedup.simhash(dedup.load_documents(spark, sf))
+
+
+def _q_simhash_pairs(spark, sf):
+    return dedup.simhash_near_pairs(
+        dedup.staged_documents(dedup.load_documents(spark, sf)), 8
+    )
+
+
+def _q_embed_neardup(spark, sf):
+    return similarity.cosine_near_pairs(
+        similarity.staged_embeddings(similarity.load_embeddings(spark, sf)),
+        0.99,
+    )
+
+
+def _q_ann_topk(spark, sf):
+    return similarity.ann_topk_bruteforce(
+        similarity.load_embeddings(spark, sf), QUERY_VEC_IDS, 5
+    )
+
+
+def _q_ann_lsh(spark, sf):
+    return similarity.ann_topk_lsh(
+        similarity.load_embeddings(spark, sf), QUERY_VEC_IDS, 5
+    )
+
+
+def _q_embed_centroids(spark, sf):
+    return similarity.label_centroids(similarity.load_embeddings(spark, sf))
+
+
+def _q_token_stats(spark, sf):
+    return quality.token_stats(dedup.load_documents(spark, sf))
+
+
+def _q_lang_id(spark, sf):
+    return quality.language_id(dedup.load_documents(spark, sf))
+
+
+def _q_quality(spark, sf):
+    return quality.quality_score(dedup.load_documents(spark, sf))
+
+
+def _q_fingerprint(spark, sf):
+    return quality.fingerprint(dedup.load_documents(spark, sf))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q_doc_dedup_exact": _q_doc_dedup_exact,
+        "q_doc_minhash_pairs": _q_doc_minhash_pairs,
+        "q_doc_ngram_pairs": _q_doc_ngram_pairs,
+        "q_doc_simhash": _q_doc_simhash,        # rows-only (no SQL analog)
+        "q_simhash_pairs": _q_simhash_pairs,    # rows-only (no SQL analog)
+        "q_embed_neardup": _q_embed_neardup,
+        "q_ann_topk": _q_ann_topk,
+        "q_ann_lsh": _q_ann_lsh,                # rows-only (approximate op)
+        "q_embed_centroids": _q_embed_centroids,
+        "q_token_stats": _q_token_stats,
+        "q_lang_id": _q_lang_id,
+        "q_quality": _q_quality,
+        "q_fingerprint": _q_fingerprint,
+    }
+
+
+def oracles() -> dict[str, str]:
+    return dict(ORACLES)

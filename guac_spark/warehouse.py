@@ -1,0 +1,130 @@
+"""Snapshot-committed parquet warehouse with per-partition lineage.
+
+The sandbox image carries no Iceberg runtime jar, so this module provides
+the same *semantics* on plain parquet: each table write lands in a fresh
+`snap-<n>` directory and becomes visible only when the commit log
+(`_commits.json`) is atomically replaced — readers always see the last
+committed snapshot, a killed writer leaves no partial state, and a re-run
+resumes from the last committed snapshot exactly (north-rule requirement).
+On a real cluster every call here maps 1:1 onto Iceberg:
+    write_snapshot  -> df.writeTo(tbl).createOrReplace() / MERGE INTO
+    read            -> spark.read.format("iceberg").load(tbl)
+    commits log     -> Iceberg snapshot metadata
+    metrics table   -> a plain Iceberg append-only table
+The GUAC analog of the commit log is blob-store sha256 key dedupe + NATS
+ack-after-ingest (/root/reference/pkg/handler/processor/process/
+process.go:131-139): work already acknowledged is never redone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_SCHEMA = (
+    "stage string, table string, snapshot_id int, partition_id int, "
+    "rows long, wall_sec double, committed_at double"
+)
+
+
+class Warehouse:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._log_path = os.path.join(root, "_commits.json")
+
+    # --- commit log -------------------------------------------------------
+    def _read_log(self) -> dict[str, Any]:
+        if not os.path.exists(self._log_path):
+            return {"tables": {}}
+        with open(self._log_path) as f:
+            return json.load(f)
+
+    def _write_log(self, log: dict[str, Any]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump(log, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._log_path)  # atomic commit point
+
+    def committed_snapshot(self, table: str) -> int | None:
+        entry = self._read_log()["tables"].get(table)
+        return entry["snapshot_id"] if entry else None
+
+    def table_path(self, table: str, snapshot_id: int) -> str:
+        return os.path.join(self.root, table, f"snap-{snapshot_id}")
+
+    # --- write ------------------------------------------------------------
+    def write_snapshot(
+        self,
+        df: DataFrame,
+        table: str,
+        stage: str | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Write df as the next snapshot of `table`; returns snapshot id.
+
+        Collects per-partition row counts (lineage) in the same pass and
+        appends them to the metrics table before the commit flips.
+        """
+        t0 = time.time()
+        prev = self.committed_snapshot(table)
+        snap = (prev or 0) + 1
+        path = self.table_path(table, snap)
+        if os.path.exists(path):
+            shutil.rmtree(path)  # leftover from a killed run — never committed
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        # per-partition lineage from the files just written (one pass,
+        # no recompute of df's plan)
+        spark = df.sparkSession
+        written = spark.read.parquet(path)
+        lineage = (
+            written.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .count()
+            .collect()
+        )
+        wall = time.time() - t0
+        now = time.time()
+        metrics_rows = [
+            (stage or table, table, snap, r["partition_id"], r["count"],
+             wall, now)
+            for r in lineage
+        ] or [(stage or table, table, snap, -1, 0, wall, now)]
+        self._append_metrics(spark, metrics_rows)
+        log = self._read_log()
+        log["tables"][table] = {
+            "snapshot_id": snap,
+            "path": path,
+            "committed_at": now,
+            "stage": stage or table,
+        }
+        self._write_log(log)
+        return snap
+
+    def _append_metrics(self, spark: SparkSession, rows: list[tuple]) -> None:
+        mdf = spark.createDataFrame(rows, METRICS_SCHEMA)
+        mpath = os.path.join(self.root, "metrics")
+        mdf.coalesce(1).write.mode("append").parquet(mpath)
+
+    # --- read -------------------------------------------------------------
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        snap = self.committed_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"table {table!r} has no committed snapshot")
+        return spark.read.parquet(self.table_path(table, snap))
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "metrics"))
+
+    def has(self, table: str) -> bool:
+        return self.committed_snapshot(table) is not None
