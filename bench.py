@@ -1,0 +1,150 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+  python bench.py                       # headline at $SPARK_GRAFT_SF_DIR
+  SPARK_GRAFT_CPUS=8 python bench.py    # same job at lower parallelism
+  SPARK_GRAFT_REPL=8 python bench.py    # replicate corpus 8x (scaling runs)
+
+Headline metric: end-to-end KG construction (read events -> derive
+transcripts -> extract -> link -> CC -> materialize vertices/edges) wall
+seconds and triples/sec, plus per-query seconds for the graph/query surface
+and training-data ops. Scaling evidence for BENCH/BASELINE.md: run with
+SPARK_GRAFT_CPUS=8 and =32 at the same SPARK_GRAFT_REPL and compare
+throughput (local[8] vs local[32] stands in for N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from guac_spark import graph, oracle, pipeline  # noqa: E402
+from guac_spark.session import get_spark  # noqa: E402
+from guac_spark.textops import dedup, quality, similarity  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPL = int(os.environ.get("SPARK_GRAFT_REPL", "1"))
+
+
+def replicate_events(spark, sf_dir: str, repl: int, out_dir: str) -> str:
+    """Deterministically replicate the events table repl× with disjoint
+    user/event id spaces (scales conversations, preserves skew shape),
+    written once so every run reads identical input."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        for i in range(repl)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    path = os.path.join(out_dir, "events.parquet")
+    big.repartition(max(CPUS, 8)).write.mode("overwrite").parquet(path)
+    return out_dir
+
+
+def main() -> None:
+    spark = get_spark(app_name=f"guac_bench_c{CPUS}", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="guac_bench_")
+    sf_dir = SF_DIR
+    try:
+        if REPL > 1:
+            sf_dir = replicate_events(spark, SF_DIR, REPL, tmp)
+
+        # --- end-to-end pipeline (fresh warehouse every run) -------------
+        wh = os.path.join(tmp, "wh")
+        t0 = time.time()
+        res = pipeline.run_pipeline(spark, sf_dir, warehouse_root=wh,
+                                    engine="arrow", resume=False)
+        pipe_sec = time.time() - t0
+        n_triples = res.triples
+        n_turns = res.tables["transcripts"].count()
+
+        tables = res.tables
+        queries = {
+            "q_neighbors": lambda: graph.neighbors(
+                tables["edges"], tables["vertices"], oracle.SEED_ENTITY
+            ).count(),
+            "q_bfs3": lambda: graph.bfs_distances(
+                tables["edges"], oracle.SEED_ENTITY, max_hops=3
+            ).count(),
+            "q_topdeps": lambda: graph.top_dependents(
+                tables["edges"], k=10
+            ).count(),
+            "q_toposort": lambda: graph.toposort_levels(
+                tables["edges"]
+            ).count(),
+            "q_conv_rollup": lambda: graph.conversation_rollup(
+                tables["edges"]
+            ).count(),
+            "q_known": lambda: graph.known(
+                tables["edges"], oracle.CELEB_ENTITY
+            ).count(),
+        }
+        if REPL == 1:
+            docs = dedup.load_documents(spark, SF_DIR)
+            emb = similarity.load_embeddings(spark, SF_DIR)
+            queries.update(
+                {
+                    "q_doc_dedup_exact": lambda: dedup.exact_dedup(
+                        dedup.staged_documents(docs)
+                    ).count(),
+                    "q_doc_minhash_pairs": lambda: dedup.minhash_pairs(
+                        dedup.staged_documents(docs), 0.7
+                    ).count(),
+                    "q_ann_topk": lambda: similarity.ann_topk_bruteforce(
+                        emb, [0, 1, 2, 3, 4], 5
+                    ).count(),
+                    "q_ann_lsh": lambda: similarity.ann_topk_lsh(
+                        emb, [0, 1, 2, 3, 4], 5
+                    ).count(),
+                    "q_token_stats": lambda: quality.token_stats(docs).count(),
+                    "q_quality": lambda: quality.quality_score(docs).count(),
+                }
+            )
+        q_secs: dict[str, float] = {}
+        for name, fn in queries.items():
+            t = time.time()
+            fn()
+            q_secs[name] = round(time.time() - t, 3)
+
+        total = pipe_sec + sum(q_secs.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_kg_construct_sec",
+                    "value": round(pipe_sec, 3),
+                    "unit": "sec",
+                    "queries": q_secs,
+                    "sf": SF_DIR,
+                    "cpus": CPUS,
+                    "repl": REPL,
+                    "turns": n_turns,
+                    "triples": n_triples,
+                    "triples_per_sec": round(n_triples / pipe_sec, 1),
+                    "turns_per_sec": round(n_turns / pipe_sec, 1),
+                    "total_sec": round(total, 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -114,11 +114,14 @@ def bfs_distances(edges: DataFrame, seed: str, max_hops: int = 4,
     visited = spark.createDataFrame([(seed, 0)], "node string, dist int")
     frontier = visited
     for hop in range(1, max_hops + 1):
+        # frontier/visited are tiny relative to the edge table — broadcast
+        # both so each hop is a single scan of adj with zero shuffle
         nxt = (
-            frontier.join(adj, frontier["node"] == adj["src"])
+            adj.join(F.broadcast(frontier), frontier["node"] == adj["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), on="node", how="left_anti")
+            .join(F.broadcast(visited.select("node")), on="node",
+                  how="left_anti")
             .withColumn("dist", F.lit(hop))
         )
         nxt = nxt.localCheckpoint(eager=True)
@@ -164,24 +167,23 @@ def toposort_levels(edges: DataFrame, pred: str = "replies_to") -> DataFrame:
     remaining_e = e
     remaining_n = nodes_df
     level = 0
-    while True:
-        n_remaining = remaining_n.count()
-        if n_remaining == 0:
-            break
-        # nodes with no remaining parent edge are free this round
+    while remaining_n.limit(1).count() > 0:
+        # nodes with no remaining parent edge are free this round; the free
+        # set is one peel layer — broadcast it into the anti-joins
         free = remaining_n.join(
             remaining_e.select(F.col("child").alias("node")).distinct(),
             on="node",
             how="left_anti",
-        )
+        ).localCheckpoint(eager=True)
         if free.limit(1).count() == 0:
             raise ValueError(f"cycle detected in {pred!r} subgraph")
         out = out.unionByName(free.withColumn("level", F.lit(level)))
-        remaining_n = remaining_n.join(free, on="node", how="left_anti"
-                                       ).localCheckpoint(eager=True)
+        remaining_n = remaining_n.join(
+            F.broadcast(free), on="node", how="left_anti"
+        ).localCheckpoint(eager=True)
         remaining_e = remaining_e.join(
-            free.withColumnRenamed("node", "parent"), on="parent",
-            how="left_anti"
+            F.broadcast(free.withColumnRenamed("node", "parent")),
+            on="parent", how="left_anti"
         ).localCheckpoint(eager=True)
         level += 1
     return out

@@ -33,6 +33,7 @@ class PipelineResult:
     tables: dict[str, DataFrame] = field(default_factory=dict)
     stages_run: list[str] = field(default_factory=list)
     stages_skipped: list[str] = field(default_factory=list)
+    stage_secs: dict[str, float] = field(default_factory=dict)
     wall_sec: float = 0.0
     triples: int = 0
 
@@ -58,8 +59,10 @@ def run_pipeline(
         if resume and wh.has(name):
             res.stages_skipped.append(name)
             return wh.read(spark, name)
+        t = time.time()
         df = build()
         wh.write_snapshot(df, name, stage=name, **write_kw)
+        res.stage_secs[name] = round(time.time() - t, 3)
         res.stages_run.append(name)
         return wh.read(spark, name)
 

@@ -79,17 +79,18 @@ class Warehouse:
         path = self.table_path(table, snap)
         if os.path.exists(path):
             shutil.rmtree(path)  # leftover from a killed run — never committed
-        writer = df.write.mode("overwrite")
+        # stamp the writing partition id so lineage is recoverable from a
+        # single pruned-column scan of the committed files
+        stamped = df.withColumn("_part_id", F.spark_partition_id())
+        writer = stamped.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        # per-partition lineage from the files just written (one pass,
-        # no recompute of df's plan)
+        # per-partition lineage: column-pruned scan of _part_id only
         spark = df.sparkSession
-        written = spark.read.parquet(path)
         lineage = (
-            written.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
+            spark.read.parquet(path)
+            .groupBy(F.col("_part_id").alias("partition_id"))
             .count()
             .collect()
         )
@@ -112,16 +113,38 @@ class Warehouse:
         return snap
 
     def _append_metrics(self, spark: SparkSession, rows: list[tuple]) -> None:
-        mdf = spark.createDataFrame(rows, METRICS_SCHEMA)
+        # tiny control-plane append — written with pyarrow directly (no
+        # Spark job); stays Spark-readable as a plain parquet directory
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         mpath = os.path.join(self.root, "metrics")
-        mdf.coalesce(1).write.mode("append").parquet(mpath)
+        os.makedirs(mpath, exist_ok=True)
+        cols = list(zip(*rows))
+        table = pa.table(
+            {
+                "stage": pa.array(cols[0], pa.string()),
+                "table": pa.array(cols[1], pa.string()),
+                "snapshot_id": pa.array(cols[2], pa.int32()),
+                "partition_id": pa.array(cols[3], pa.int32()),
+                "rows": pa.array([int(x) for x in cols[4]], pa.int64()),
+                "wall_sec": pa.array(cols[5], pa.float64()),
+                "committed_at": pa.array(cols[6], pa.float64()),
+            }
+        )
+        pq.write_table(table, os.path.join(mpath, f"{uuid.uuid4().hex}.parquet"))
 
     # --- read -------------------------------------------------------------
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         snap = self.committed_snapshot(table)
         if snap is None:
             raise FileNotFoundError(f"table {table!r} has no committed snapshot")
-        return spark.read.parquet(self.table_path(table, snap))
+        df = spark.read.parquet(self.table_path(table, snap))
+        if "_part_id" in df.columns:
+            df = df.drop("_part_id")
+        return df
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "metrics"))
