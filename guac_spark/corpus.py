@@ -98,7 +98,7 @@ numbered AS (
            AS turn_idx
   FROM ev
 )
-SELECT
+SELECT /*+ BROADCAST(a1), BROADCAST(a2) */
   n.conv_id,
   cast(n.turn_idx AS INT) AS turn_idx,
   {ROLE_CASE.replace('event_type', 'n.event_type')} AS role,

@@ -137,6 +137,17 @@ def extract_aka_pairs(transcripts: DataFrame, engine: str = "arrow") -> DataFram
     raise ValueError(f"unknown engine {engine!r}")
 
 
+def dedupe_staging(transcripts: DataFrame) -> DataFrame:
+    """Drop duplicate staged turns by content hash — the blob-store sha256
+    key dedupe analog (/root/reference/pkg/events/events.go:77-80): the
+    same (conv_id, turn_idx, text) ingested twice is one document."""
+    return (
+        transcripts.withColumn("_sha", F.sha2("text", 256))
+        .dropDuplicates(["conv_id", "turn_idx", "_sha"])
+        .drop("_sha")
+    )
+
+
 def turn_ref(conv_col, idx_col):
     return F.concat(F.lit("turn:"), conv_col, F.lit(":"), idx_col.cast("string"))
 

@@ -1,0 +1,80 @@
+"""Extraction: engine parity (arrow vs sql), negative fixtures, staging dedupe."""
+
+from __future__ import annotations
+
+import datetime
+
+from guac_spark import corpus, extract
+from tests.conftest import SF_SMALL
+
+
+def _multiset(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_arrow_and_sql_engines_agree(spark):
+    t = corpus.transcripts(spark, SF_SMALL)
+    a = _multiset(extract.extract_mentions(t, engine="arrow"))
+    s = _multiset(extract.extract_mentions(t, engine="sql"))
+    assert a == s
+    aa = _multiset(extract.extract_aka_pairs(t, engine="arrow"))
+    ss = _multiset(extract.extract_aka_pairs(t, engine="sql"))
+    assert aa == ss
+
+
+def _mini(spark, texts):
+    now = datetime.datetime(2024, 1, 1)
+    rows = [("c0", i, "user", t, None, now) for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_no_mentions_emits_zero_rows_not_nulls(spark):
+    t = _mini(spark, ["nothing to see here", "", "   ", "UPPER @Case-Bad"])
+    for engine in ("arrow", "sql"):
+        m = extract.extract_mentions(t, engine=engine)
+        rows = m.collect()
+        # '@Case-Bad' starts uppercase -> no match under [a-z][a-z-]*
+        assert all(r["surface"] is not None for r in rows)
+        person = [r for r in rows if r["kind"] == "person"]
+        assert person == [] or all(
+            r["surface"] == "ase-bad" for r in person
+        )  # lowercase tail after 'C' only if regex engine matched mid-token
+
+
+def test_mixed_grammar_single_turn(spark):
+    t = _mini(
+        spark,
+        ["ping @ada-lovelace on #topic_3 via tool:tool_purchase >>0 "
+         "and @grace-hopper aka @grace-hopperr"],
+    )
+    for engine in ("arrow", "sql"):
+        m = extract.extract_mentions(t, engine=engine)
+        kinds = {r["kind"] for r in m.collect()}
+        assert kinds == {"person", "topic", "tool", "reply"}
+        aka = extract.extract_aka_pairs(t, engine=engine).collect()
+        assert [(r["surface_a"], r["surface_b"]) for r in aka] == [
+            ("grace-hopper", "grace-hopperr")
+        ]
+
+
+def test_staging_dedupe_by_content_hash(spark):
+    t = _mini(spark, ["dup text", "other"])
+    staged = t.unionByName(t.limit(1))  # duplicate row 0
+    assert staged.count() == 3
+    deduped = extract.dedupe_staging(staged)
+    assert deduped.count() == 2
+
+
+def test_triples_surface_shape(spark):
+    t = _mini(spark, ["@ada-lovelace aka @ada-lovelacee >>0"])
+    m = extract.extract_mentions(t)
+    a = extract.extract_aka_pairs(t)
+    tr = extract.triples_surface(m, a)
+    preds = {r["pred"] for r in tr.collect()}
+    assert preds == {"mentions", "replies_to", "same_as"}
+    reply = [r for r in tr.collect() if r["pred"] == "replies_to"][0]
+    assert reply["obj"] == "turn:c0:0"

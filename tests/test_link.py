@@ -1,0 +1,68 @@
+"""Entity linking: head/tail determinism and LSH recall guarantees."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from guac_spark import corpus, extract, link
+from guac_spark.link import _exact_jaccard, _ngrams
+from tests.conftest import SF_SMALL
+
+import pandas as pd
+
+
+def test_ngram_jaccard_reference():
+    a = _ngrams("algeria")
+    b = _ngrams("algeriaa")
+    assert len(a & b) / len(a | b) > 0.8
+    s = _exact_jaccard(pd.Series(["algeria"]), pd.Series(["algeriaa"]))
+    assert abs(s[0] - len(a & b) / len(a | b)) < 1e-12
+
+
+def test_variant_links_are_exactly_ground_truth(spark):
+    """LSH+prefix blocking must recover exactly: variant -> source alias
+    (argmax 3-gram Jaccard >= 0.5), nothing more, nothing less."""
+    t = corpus.transcripts(spark, SF_SMALL)
+    adict = corpus.alias_dict(spark)
+    mentions = extract.extract_mentions(t)
+    linked = link.link_exact(mentions, adict)
+    unmatched = link.unmatched_surfaces(linked)
+    got = {
+        (r["src"], r["dst"]) for r in link.link_tail(unmatched, adict).collect()
+    }
+    surfaces = {r["surface"] for r in unmatched.collect()}
+    expected = set()
+    for p in corpus.PERSONS:
+        v1, v2 = p + p[-1], p + p[-1] * 2
+        if v1 in surfaces:
+            expected.add((f"ent:unk/{v1}", f"ent:person/{p}"))
+        if v2 in surfaces:
+            expected.add((f"ent:unk/{v2}", f"ent:person/{p}"))
+    assert got == expected
+    # mystery guests must never link
+    assert not any("mystery" in s for s, _ in got)
+
+
+def test_no_ambiguous_cross_links():
+    """Structural guarantee behind the oracle: no variant is >= 0.5-similar
+    to any alias other than its source."""
+    for p in corpus.PERSONS:
+        for v in (p + p[-1], p + p[-1] * 2):
+            gv = _ngrams(v)
+            for q in corpus.PERSONS:
+                j = len(gv & _ngrams(q)) / len(gv | _ngrams(q))
+                if q == p:
+                    assert j >= 0.5, (v, q, j)
+                else:
+                    assert j < 0.5, (v, q, j)
+
+
+def test_celebrity_head_link_is_broadcast(spark):
+    """The head-linking join must be a broadcast hash join (no shuffle of
+    the mention stream) — the plan-shape contract for 100 TB."""
+    t = corpus.transcripts(spark, SF_SMALL)
+    adict = corpus.alias_dict(spark)
+    linked = link.link_exact(extract.extract_mentions(t), adict)
+    plan = linked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,79 @@
+"""Checkpoint/resume: a killed run restarts from the last committed snapshot
+with no duplicate work and an identical final graph (north-rule gate;
+the analog of GUAC's ack-after-ingest, process/process.go:131-139)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from guac_spark.pipeline import run_pipeline
+from guac_spark.warehouse import Warehouse
+from tests.conftest import SF_SMALL
+
+
+class _Boom(Exception):
+    pass
+
+
+def test_resume_after_kill(spark):
+    full_wh = tempfile.mkdtemp(prefix="wh_full_")
+    ref = run_pipeline(spark, SF_SMALL, full_wh)
+    ref_triples = sorted(map(tuple, ref.tables["triples"].collect()))
+
+    # simulate a kill mid-run: patch connected_components to explode, so
+    # transcripts/mentions_linked/equivalences commit but cc doesn't
+    kill_wh = tempfile.mkdtemp(prefix="wh_kill_")
+    import guac_spark.pipeline as pl
+
+    orig = pl.cc.connected_components
+
+    def boom(*a, **k):
+        raise _Boom()
+
+    pl.cc.connected_components = boom
+    try:
+        with pytest.raises(_Boom):
+            run_pipeline(spark, SF_SMALL, kill_wh)
+    finally:
+        pl.cc.connected_components = orig
+
+    wh = Warehouse(kill_wh)
+    assert wh.has("transcripts") and wh.has("equivalences")
+    assert not wh.has("cc_mapping") and not wh.has("triples")
+
+    # resume: committed stages are skipped, the rest run, output identical
+    res = run_pipeline(spark, SF_SMALL, kill_wh, resume=True)
+    assert "transcripts" in res.stages_skipped
+    assert "equivalences" in res.stages_skipped
+    assert "cc_mapping" in res.stages_run
+    got = sorted(map(tuple, res.tables["triples"].collect()))
+    assert got == ref_triples
+
+
+def test_lineage_metrics_complete(spark):
+    wh_root = tempfile.mkdtemp(prefix="wh_lineage_")
+    res = run_pipeline(spark, SF_SMALL, wh_root)
+    wh = Warehouse(wh_root)
+    m = wh.metrics(spark)
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert stages == set(res.tables.keys()) - {"alias_dict"}
+    # per-partition counters must sum to the committed table row counts
+    for t in ["transcripts", "triples", "vertices", "edges"]:
+        total = (
+            m.filter(f"table = '{t}'").groupBy().sum("rows").first()[0]
+        )
+        assert total == wh.read(spark, t).count(), t
+
+
+def test_rerun_without_resume_recommits(spark):
+    wh_root = tempfile.mkdtemp(prefix="wh_rerun_")
+    r1 = run_pipeline(spark, SF_SMALL, wh_root)
+    r2 = run_pipeline(spark, SF_SMALL, wh_root)  # resume=False: full rerun
+    wh = Warehouse(wh_root)
+    # snapshot ids advanced, readers see the latest commit
+    assert wh.committed_snapshot("triples") == 2
+    assert sorted(map(tuple, r1.tables["triples"].collect())) == sorted(
+        map(tuple, r2.tables["triples"].collect())
+    )
