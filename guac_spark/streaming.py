@@ -1,0 +1,121 @@
+"""Incremental / streaming ingestion.
+
+The analog of GUAC's service mode — collectors publish documents to NATS,
+the processor subscribes, processes, and acks exactly-once
+(/root/reference/pkg/handler/collector/collector.go:84-120,
+pkg/handler/processor/process/process.go:85-164). Spark-first shape:
+
+  * Structured Streaming file source over a transcripts directory (new
+    parquet files = newly collected documents);
+  * Trigger.AvailableNow drains everything collected so far and stops
+    (batch-incremental, the GUAC poll-loop analog);
+  * foreachBatch runs the extraction stage per micro-batch and appends to
+    the triples stream table; the streaming checkpoint is the ack — a
+    re-run never reprocesses acknowledged files (exactly-once end to end,
+    since the extraction output is deterministic and the append is keyed
+    by batch id).
+
+GUAC has no windows/watermarks in its temporal logic (SURVEY.md §2.8);
+`windowed_mention_counts` below adds standard event-time windowing +
+watermarked late-data handling anyway, since any transcript feed at
+10^12-turn scale arrives out of order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import extract, link
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def incremental_extract(
+    spark: SparkSession,
+    input_dir: str,
+    out_root: str,
+    alias_dict: DataFrame,
+    engine: str = "arrow",
+) -> int:
+    """Drain new transcript files -> linked mentions appended to out_root.
+
+    Returns the number of micro-batches processed this invocation (0 when
+    everything was already acknowledged). Safe to call repeatedly; the
+    checkpoint under out_root/_checkpoint is the exactly-once ledger.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    out_path = os.path.join(out_root, "mentions_linked_stream")
+    ckpt = os.path.join(out_root, "_checkpoint")
+    n_batches = {"n": 0}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        staged = extract.dedupe_staging(batch_df)
+        mentions = extract.extract_mentions(staged, engine=engine)
+        linked = link.link_exact(mentions, alias_dict)
+        (
+            linked.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def windowed_mention_counts(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Event-time windowed mention volume with late-data watermark.
+
+    Streaming aggregation demo over the same file source; returns the
+    completed result via an in-memory sink (AvailableNow drains and stops).
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    )
+    mentions = stream.select(
+        "ts",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(extract.PERSON_RE), F.lit(1))
+        ).alias("surface"),
+    )
+    agg = (
+        mentions.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "surface")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "surface",
+            "n",
+        )
+    )
+    name = "guac_windowed_mentions"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

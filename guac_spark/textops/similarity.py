@@ -140,30 +140,47 @@ def hyperplane_buckets(
 
 
 def ann_topk_lsh(
-    emb: DataFrame, query_ids: list[int], k: int = 5, n_bits: int = 8
+    emb: DataFrame, query_ids: list[int], k: int = 5, n_bits: int = 8,
+    multiprobe: int = 1
 ) -> DataFrame:
-    """Approximate top-k: score only vectors sharing the query's bucket.
+    """Approximate top-k: score only vectors in the query's probe buckets.
 
-    Recall < 1 by construction; used for throughput at scale, while
-    ann_topk_bruteforce is the correctness baseline. (Multi-probe — also
-    scoring buckets at Hamming distance 1 — raises recall at 9× probe cost.)
+    Multi-probe (flip up to `multiprobe` signature bits) trades probe count
+    for recall — probes = 1 + n_bits at multiprobe=1, vs scanning the full
+    corpus for brute force. Recall < 1 by construction;
+    ann_topk_bruteforce is the correctness baseline.
     """
     b = hyperplane_buckets(emb, n_bits=n_bits)
     with_b = emb.join(b, on="vec_id")
-    q = with_b.filter(F.col("vec_id").isin(query_ids)).select(
+    q0 = with_b.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("vq"),
         _norm("embedding").alias("nq"),
         "bucket",
     )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_bits)
+            ],
+        )
+        q = q0.select(
+            "query_id", "vq", "nq", F.explode(probes).alias("bucket")
+        )
+    else:
+        q = q0
     c = with_b.filter(~F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vc"),
         _norm("embedding").alias("nc"),
         "bucket",
     )
-    scored = c.join(F.broadcast(q), on="bucket").withColumn(
-        "cos", _dot("vq", "vc") / (F.col("nq") * F.col("nc"))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .withColumn("cos", _dot("vq", "vc") / (F.col("nq") * F.col("nc")))
+        .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")

@@ -1,0 +1,70 @@
+"""Streaming incremental ingest: exactly-once drain, windowed aggregation."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from guac_spark import corpus, streaming
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark):
+    base = tempfile.mkdtemp(prefix="guac_stream_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    t = corpus.transcripts(spark, SF_SMALL).cache()
+    batch1 = t.filter("conv_id < 'conv-00007'")
+    batch2 = t.filter("conv_id >= 'conv-00007'")
+    batch1.write.mode("overwrite").parquet(in_dir)
+    return {"in": in_dir, "out": out_dir, "batch2": batch2, "t": t}
+
+
+def test_incremental_drain_is_exactly_once(spark, stream_dirs):
+    adict = corpus.alias_dict(spark)
+    n1 = streaming.incremental_extract(
+        spark, stream_dirs["in"], stream_dirs["out"], adict
+    )
+    assert n1 >= 1
+    out = spark.read.parquet(
+        os.path.join(stream_dirs["out"], "mentions_linked_stream")
+    )
+    c1 = out.count()
+    assert c1 > 0
+
+    # re-run with no new input: nothing reprocessed
+    n2 = streaming.incremental_extract(
+        spark, stream_dirs["in"], stream_dirs["out"], adict
+    )
+    out2 = spark.read.parquet(
+        os.path.join(stream_dirs["out"], "mentions_linked_stream")
+    )
+    assert out2.count() == c1
+
+    # land batch 2: only the new files are processed
+    stream_dirs["batch2"].write.mode("append").parquet(stream_dirs["in"])
+    streaming.incremental_extract(
+        spark, stream_dirs["in"], stream_dirs["out"], adict
+    )
+    out3 = spark.read.parquet(
+        os.path.join(stream_dirs["out"], "mentions_linked_stream")
+    )
+    assert out3.count() > c1
+    # total equals a from-scratch batch extraction of everything
+    from guac_spark import extract, link
+    full = link.link_exact(
+        extract.extract_mentions(stream_dirs["t"]), corpus.alias_dict(spark)
+    )
+    assert out3.count() == full.count()
+
+
+def test_windowed_mention_counts(spark, stream_dirs):
+    res = streaming.windowed_mention_counts(
+        spark, stream_dirs["in"], window="7 days", watermark="1 day"
+    )
+    rows = res.collect()
+    assert len(rows) > 0
+    assert all(r["n"] > 0 for r in rows)

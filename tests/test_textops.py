@@ -1,0 +1,88 @@
+"""Training-data operators: dedup recall, simhash, ANN recall, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from guac_spark.textops import dedup, multimodal, similarity
+from tests.conftest import SF_SMALL
+
+
+def test_minhash_equals_relational(spark):
+    docs = dedup.staged_documents(dedup.load_documents(spark, SF_SMALL))
+    lsh = {
+        (r["a"], r["b"]) for r in dedup.minhash_pairs(docs, 0.7).collect()
+    }
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.jaccard_pairs_relational(docs, 0.7, n=2).collect()
+    }
+    assert lsh == exact
+    # the staged near-copies (id+10000) must all be found
+    staged = {r["doc_id"] for r in docs.filter("doc_id >= 20000").collect()}
+    near = {a for a, b in exact if b >= 10000 and b < 20000} | {
+        b - 10000 for a, b in exact if 10000 <= b < 20000
+    }
+    assert len(near) > 0
+
+
+def test_exact_dedup_finds_staged_copies(spark):
+    docs = dedup.load_documents(spark, SF_SMALL)
+    staged = dedup.staged_documents(docs)
+    out = dedup.exact_dedup(staged)
+    dup_groups = out.filter("n_copies > 1").count()
+    expected = docs.filter("doc_id % 10 = 0").count()
+    assert dup_groups == expected
+    # keeper is always the original (min id)
+    assert out.filter("n_copies > 1").filter("keeper_doc_id >= 20000").count() == 0
+
+
+def test_simhash_exact_copy_distance_zero(spark):
+    docs = dedup.staged_documents(dedup.load_documents(spark, SF_SMALL))
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3)
+    got = {(r["a"], r["b"]) for r in pairs.filter("hamming = 0").collect()}
+    exact_copies = {
+        (r["doc_id"], r["doc_id"] + 20000)
+        for r in dedup.load_documents(spark, SF_SMALL)
+        .filter("doc_id % 10 = 0").collect()
+    }
+    assert exact_copies <= got
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = similarity.load_embeddings(spark, SF_SMALL)
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk_bruteforce(emb, qids, 5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk_lsh(emb, qids, 5, n_bits=4).collect()
+    }
+    # approximate: require non-trivial recall, exactness not expected
+    recall = len(brute & lsh) / len(brute)
+    assert recall > 0.1, recall
+    # every LSH hit must be a real corpus vector with a valid rank
+    assert all(q in qids for q, _ in lsh)
+
+
+def test_multimodal_plumbing(spark):
+    docs = dedup.load_documents(spark, SF_SMALL)
+    media = multimodal.attach_media(docs)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same payload -> same features
+    f2 = multimodal.extract_features(media.repartition(7)).collect()
+    m1 = {r["media_id"]: tuple(r["features"]) for r in rows}
+    m2 = {r["media_id"]: tuple(r["features"]) for r in f2}
+    assert m1 == m2
+
+    plan = multimodal.frame_sample_plan(media, every_ms=5000)
+    assert plan.count() > 0
+
+    import pytest
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(media, decode_stub=False).collect()
