@@ -115,6 +115,23 @@ def _q_bfs(spark, sf):
     )
 
 
+def _q_neighbors_filtered(spark, sf):
+    t = _ctx(spark, sf)
+    return graph.neighbors(
+        t["edges"], t["vertices"], oracle.SEED_ENTITY,
+        using_only=["mentions", "about"],
+    )
+
+
+def _q_nodes_batch(spark, sf):
+    t = _ctx(spark, sf)
+    return graph.nodes(
+        t["vertices"],
+        [oracle.SEED_ENTITY, oracle.CELEB_ENTITY,
+         "ent:topic/topic_3", "ent:tool/tool_error"],
+    ).select("vertex_id", "kind", "canonical")
+
+
 def _q_toposort(spark, sf):
     return graph.toposort_levels(_ctx(spark, sf)["edges"])
 
@@ -211,6 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vertices": _q_vertices,
         "q_edges": _q_edges,
         "q_neighbors": _q_neighbors,
+        "q_neighbors_filtered": _q_neighbors_filtered,
+        "q_nodes_batch": _q_nodes_batch,
         "q_bfs": _q_bfs,
         "q_toposort": _q_toposort,
         "q_topdeps": _q_topdeps,

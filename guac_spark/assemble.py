@@ -77,7 +77,7 @@ def triples_final(
         .alias("obj"),
     )
     t = apply_mapping(t, mapping, ["obj"])
-    return t.dropDuplicates(["conv_id", "turn_idx", "subj", "pred", "obj"])
+    return t.select("conv_id", "turn_idx", "subj", "pred", "obj").dropDuplicates()
 
 
 def vertices(triples: DataFrame) -> DataFrame:
@@ -132,6 +132,10 @@ def edges(triples: DataFrame) -> DataFrame:
             256,
         ),
     )
-    return e.dropDuplicates(["edge_id"]).select(
+    # no dropDuplicates: triples are already distinct on
+    # (conv_id, turn_idx, subj, pred, obj), which is exactly the field set
+    # edge_id hashes (origin = conv_id, document_ref = conv_id:turn_idx) —
+    # a dedup shuffle here would move the whole edge table for nothing.
+    return e.select(
         "edge_id", "src", "dst", "pred", "origin", "document_ref"
     )

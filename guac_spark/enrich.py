@@ -1,0 +1,97 @@
+"""Second-pass enrichment loop — the certifier analog.
+
+GUAC's certifiers poll the graph for stale packages, call out to OSV/
+deps.dev/ClearlyDefined, and feed the resulting attestations back through
+ingestion (/root/reference/pkg/certifier/certifier.go:24-37, poll loop
+certifier/certify/certify.go:60,215; staleness query
+components/root_package/root_package.go:53-148). The Spark-first shape is a
+recurring batch job over the materialized graph:
+
+  1. `stale_entities` (graph.py) — watermark scan: entities never enriched
+     or enriched before the cutoff (anti-join vs the enrichment ledger);
+  2. enrich the batch (here: a deterministic offline scorer standing in for
+     the network certifier — a broadcast join against an enrichment
+     snapshot table is the 100 TB pattern; live HTTP would be a rate-capped
+     mapInPandas);
+  3. append the new evidence edges + ledger rows via snapshot commit —
+     re-running the loop is idempotent and converges to zero stale work,
+     the exact semantics of GUAC's last-scan watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .warehouse import Warehouse
+
+ENRICH_PRED = "has_metadata"
+LEDGER_TABLE = "enrich_ledger"
+
+
+def pending_entities(
+    spark: SparkSession, wh: Warehouse, kinds: tuple[str, ...] = ("person",)
+) -> DataFrame:
+    """Entities lacking a ledger row — findPackagesThatNeedScanning analog
+    (never-scanned arm; the staleness arm is graph.stale_entities)."""
+    verts = wh.read(spark, "vertices").filter(F.col("kind").isin(list(kinds)))
+    if wh.has(LEDGER_TABLE):
+        ledger = wh.read(spark, LEDGER_TABLE).select("canonical")
+        verts = verts.join(ledger, on="canonical", how="left_anti")
+    return verts.select("vertex_id", "kind", "canonical")
+
+
+def enrich_batch(entities: DataFrame) -> DataFrame:
+    """Deterministic enrichment: a reputation score derived from content
+    (stands in for an OSV/scorecard response; same output shape)."""
+    score = (
+        F.conv(F.substring(F.sha2(F.col("canonical"), 256), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    return entities.select(
+        "canonical",
+        F.lit(ENRICH_PRED).alias("pred"),
+        F.concat(F.lit("ent:meta/score-"), score.cast("string")).alias("obj"),
+        score.alias("score"),
+    )
+
+
+def run_enrichment(spark: SparkSession, warehouse_root: str) -> int:
+    """One loop iteration: scan -> enrich -> append evidence + ledger.
+
+    Returns the number of entities enriched (0 = converged). Evidence
+    lands as edges with origin 'enricher' so provenance distinguishes
+    first-pass extraction from second-pass certification, mirroring
+    GUAC's collector/origin stamps (graph_builder.go:62-156).
+    """
+    wh = Warehouse(warehouse_root)
+    todo = pending_entities(spark, wh)
+    n = todo.count()
+    if n == 0:
+        return 0
+    enriched = enrich_batch(todo)
+    new_edges = enriched.select(
+        F.sha2(
+            F.concat_ws("|", F.col("canonical"), F.col("pred"), F.col("obj"),
+                        F.lit("enricher")),
+            256,
+        ).alias("edge_id"),
+        F.col("canonical").alias("src"),
+        F.col("obj").alias("dst"),
+        "pred",
+        F.lit("enricher").alias("origin"),
+        F.lit("enricher:0").alias("document_ref"),
+    )
+    edges = wh.read(spark, "edges").unionByName(new_edges).dropDuplicates(
+        ["edge_id"]
+    )
+    wh.write_snapshot(edges, "edges", stage="enrich_edges")
+    ledger_new = enriched.select(
+        "canonical", "score", F.current_timestamp().alias("enriched_at")
+    )
+    if wh.has(LEDGER_TABLE):
+        ledger = wh.read(spark, LEDGER_TABLE).unionByName(ledger_new)
+    else:
+        ledger = ledger_new
+    wh.write_snapshot(ledger, LEDGER_TABLE, stage="enrich_ledger")
+    return n

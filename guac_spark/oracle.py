@@ -247,6 +247,21 @@ depth AS (
 )
 SELECT node, cast(max(d) AS INT) AS level FROM depth GROUP BY node
 """,
+    "q_neighbors_filtered": KG_PRELUDE + f"""
+SELECT v.vertex_id, v.kind, v.canonical, n.pred
+FROM (
+  SELECT DISTINCT dst AS nbr, pred FROM edges
+  WHERE src = '{SEED_ENTITY}' AND pred IN ('mentions', 'about')
+  UNION
+  SELECT DISTINCT src AS nbr, pred FROM edges
+  WHERE dst = '{SEED_ENTITY}' AND pred IN ('mentions', 'about')
+) n JOIN vertices v ON v.canonical = n.nbr
+""",
+    "q_nodes_batch": KG_PRELUDE + f"""
+SELECT vertex_id, kind, canonical FROM vertices
+WHERE canonical IN ('{SEED_ENTITY}', '{CELEB_ENTITY}',
+                    'ent:topic/topic_3', 'ent:tool/tool_error')
+""",
     "q_topdeps": KG_PRELUDE + """
 SELECT dst AS entity, count(*) AS n_mentions
 FROM edges WHERE pred = 'mentions'

@@ -32,7 +32,9 @@ def get_spark(
         DuckDB oracle.
     """
     cpus = cpus or DEFAULT_CPUS
-    shuffle = shuffle_partitions or max(cpus, 8)
+    # 4 waves per stage: partitions ≫ cores packs stragglers instead of
+    # letting one slow task idle the whole pool at a stage barrier
+    shuffle = shuffle_partitions or max(4 * cpus, 16)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -43,7 +45,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

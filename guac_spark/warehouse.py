@@ -151,3 +151,24 @@ class Warehouse:
 
     def has(self, table: str) -> bool:
         return self.committed_snapshot(table) is not None
+
+    # --- delete (the Iceberg `MERGE ... WHEN MATCHED THEN DELETE` analog;
+    #     GUAC: delete.graphql / keyvalue path.go:195-197) ----------------
+    def delete_vertices(
+        self, spark: SparkSession, canonicals: list[str]
+    ) -> tuple[int, int]:
+        """Remove vertices and every incident edge; returns (n_vertices,
+        n_edges) removed. Copy-on-write new snapshots — time travel to the
+        pre-delete snapshot stays possible via the snap-N directories."""
+        verts = self.read(spark, "vertices")
+        edges = self.read(spark, "edges")
+        kill = F.col("canonical").isin(canonicals)
+        v_keep = verts.filter(~kill)
+        e_keep = edges.filter(
+            ~F.col("src").isin(canonicals) & ~F.col("dst").isin(canonicals)
+        )
+        n_v = verts.count() - v_keep.count()
+        n_e = edges.count() - e_keep.count()
+        self.write_snapshot(v_keep, "vertices", stage="delete")
+        self.write_snapshot(e_keep, "edges", stage="delete")
+        return n_v, n_e
