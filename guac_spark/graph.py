@@ -140,6 +140,53 @@ def shortest_path_len(edges: DataFrame, a: str, b: str, max_hops: int = 6,
     return row[0] if row and row[0] is not None else None
 
 
+def shortest_path_nodes(edges: DataFrame, a: str, b: str, max_hops: int = 6,
+                        using_only: list[str] | None = None
+                        ) -> list[str] | None:
+    """The actual node path, reconstructed from parent pointers — the
+    keyvalue `path` semantics (keyvalue/path.go:83-152). Deterministic:
+    each node keeps its lexicographically smallest parent, so among all
+    shortest paths the same one is returned at any parallelism.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "pred")
+    if using_only:
+        e = e.filter(F.col("pred").isin(using_only))
+    adj = e.select("src", "dst").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    visited = spark.createDataFrame(
+        [(a, 0, None)], "node string, dist int, parent string"
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            adj.join(F.broadcast(frontier), frontier["node"] == adj["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src").alias("parent"))  # deterministic parent
+            .join(F.broadcast(visited.select("node")), on="node",
+                  how="left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            return None
+        visited = visited.unionByName(
+            nxt.select("node", "dist", "parent")
+        ).localCheckpoint(eager=True)
+        if nxt.filter(F.col("node") == b).limit(1).count() > 0:
+            break
+        frontier = nxt.select("node")
+    parents = {r["node"]: r["parent"] for r in visited.collect()}
+    if b not in parents:
+        return None
+    path = [b]
+    while path[-1] != a:
+        path.append(parents[path[-1]])
+    return list(reversed(path))
+
+
 # --- toposort (guacanalytics/toposort.go:26-61) ------------------------------
 
 def toposort_levels(edges: DataFrame, pred: str = "replies_to") -> DataFrame:
