@@ -98,22 +98,25 @@ def extract_mentions(transcripts: DataFrame, engine: str = "arrow") -> DataFrame
         cols = transcripts.select("conv_id", "turn_idx", "text")
         return cols.mapInPandas(_extract_mentions_batch, MENTIONS_SCHEMA)
     if engine == "sql":
-        parts = []
+        # one scan: all four patterns evaluated per row, exploded via a
+        # map column (a 4-way union would rescan the table per pattern)
+        kv = []
         for kind, pat in MENTION_PATTERNS:
-            parts.append(
-                transcripts.select(
-                    "conv_id",
-                    "turn_idx",
-                    F.lit(kind).alias("kind"),
-                    F.explode(
-                        F.regexp_extract_all("text", F.lit(pat), F.lit(1))
-                    ).alias("surface"),
-                )
+            kv.append(F.lit(kind))
+            kv.append(F.regexp_extract_all("text", F.lit(pat), F.lit(1)))
+        return (
+            transcripts.select(
+                "conv_id",
+                "turn_idx",
+                F.explode(F.create_map(*kv)).alias("kind", "arr"),
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            .select(
+                "conv_id",
+                "turn_idx",
+                "kind",
+                F.explode("arr").alias("surface"),
+            )
+        )
     raise ValueError(f"unknown engine {engine!r}")
 
 
@@ -126,7 +129,10 @@ def extract_aka_pairs(transcripts: DataFrame, engine: str = "arrow") -> DataFram
         a = F.regexp_extract("text", AKA_RE, 1)
         b = F.regexp_extract("text", AKA_RE, 2)
         return (
-            transcripts.select(
+            # cheap substring prefilter before the regex — most turns have
+            # no aka pattern, and contains() is far cheaper than regex
+            transcripts.filter(F.col("text").contains(" aka @"))
+            .select(
                 "conv_id",
                 "turn_idx",
                 a.alias("surface_a"),

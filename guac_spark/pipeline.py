@@ -80,7 +80,11 @@ def run_pipeline(
 
     def build_links() -> DataFrame:
         tail = link.link_tail(link.unmatched_surfaces(linked), adict)
-        aka = extract.extract_aka_pairs(transcripts, engine=engine)
+        # aka extraction is two regexp_extract calls — always take the
+        # pure-JVM engine here (identical semantics, tested); the second
+        # full-corpus Arrow transfer would double the Python cost for a
+        # pattern that appears in a minority of turns
+        aka = extract.extract_aka_pairs(transcripts, engine="sql")
         aka_res = assemble.resolve_surfaces(
             aka, adict, ["surface_a", "surface_b"]
         ).select(
