@@ -187,6 +187,28 @@ SELECT doc_id,
         + 0.3 * least((tot_len / safe_n) / 8, 1.0), 6) AS score
 FROM feat
 """,
+    # exact SimHash oracle: ('0x'||substr(md5(tok),1,16))::UBIGINT equals
+    # Python's int.from_bytes(md5(tok)[:8], 'big'); bit votes and the
+    # final bit-OR are integer-exact in both engines
+    "q_doc_simhash": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, cast(b.i AS INT) AS bit,
+         sum(CASE WHEN (h >> cast(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(0, 64) b(i) GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       lower(lpad(to_hex(cast(sum(
+         CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0 END) AS UBIGINT)),
+         16, '0')) AS simhash
+FROM bits GROUP BY doc_id
+""",
     "q_fingerprint": """
 SELECT doc_id, md5(text) AS fp_full,
        md5(substr(text, 1, 64)) AS fp_head
@@ -266,7 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_dedup_exact": _q_doc_dedup_exact,
         "q_doc_minhash_pairs": _q_doc_minhash_pairs,
         "q_doc_ngram_pairs": _q_doc_ngram_pairs,
-        "q_doc_simhash": _q_doc_simhash,        # rows-only (no SQL analog)
+        "q_doc_simhash": _q_doc_simhash,
         "q_simhash_pairs": _q_simhash_pairs,    # rows-only (no SQL analog)
         "q_embed_neardup": _q_embed_neardup,
         "q_ann_topk": _q_ann_topk,
