@@ -37,6 +37,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("guac_spark_build").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # runtime-settable engine confs (static ones — master, memory,
+    # spark.io.compression.codec — belong on the spark-submit line)
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        spark.conf.set(k, v)
 
     from guac_spark.pipeline import run_pipeline
 
