@@ -210,9 +210,14 @@ def _q_sessionize(spark, sf):
     from pyspark.sql import Window
     ev = _events(spark, sf)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # full-microsecond precision: unix_timestamp truncates to seconds and
+    # would disagree with the oracle's INTERVAL 24 HOUR comparison for a
+    # gap in (24h, 24h+1s); parquet timestamps load as NTZ in Spark 4 —
+    # cast first (session TZ pinned UTC)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
     new_sess = F.when(
-        F.lag("ts").over(w).isNull() | (gap > 24 * 3600), 1
+        F.lag(ts_us).over(w).isNull() | (gap_us > 24 * 3600 * 1_000_000), 1
     ).otherwise(0)
     return (
         ev.withColumn("new_sess", new_sess)

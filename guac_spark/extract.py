@@ -126,8 +126,11 @@ def extract_aka_pairs(transcripts: DataFrame, engine: str = "arrow") -> DataFram
         cols = transcripts.select("conv_id", "turn_idx", "text")
         return cols.mapInPandas(_extract_aka_batch, AKA_SCHEMA)
     if engine == "sql":
-        a = F.regexp_extract("text", AKA_RE, 1)
-        b = F.regexp_extract("text", AKA_RE, 2)
+        # ALL non-overlapping matches per turn, matching the arrow engine's
+        # str.findall semantics exactly (engine-parity tested): extract the
+        # two capture groups as parallel arrays and zip positionally
+        a_arr = F.regexp_extract_all("text", F.lit(AKA_RE), F.lit(1))
+        b_arr = F.regexp_extract_all("text", F.lit(AKA_RE), F.lit(2))
         return (
             # cheap substring prefilter before the regex — most turns have
             # no aka pattern, and contains() is far cheaper than regex
@@ -135,10 +138,21 @@ def extract_aka_pairs(transcripts: DataFrame, engine: str = "arrow") -> DataFram
             .select(
                 "conv_id",
                 "turn_idx",
-                a.alias("surface_a"),
-                b.alias("surface_b"),
+                a_arr.alias("_aa"),
+                b_arr.alias("_bb"),
             )
-            .filter(F.col("surface_a") != "")
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.posexplode("_aa").alias("_i", "surface_a"),
+                "_bb",
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                "surface_a",
+                F.element_at("_bb", F.col("_i") + 1).alias("surface_b"),
+            )
         )
     raise ValueError(f"unknown engine {engine!r}")
 

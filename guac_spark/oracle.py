@@ -64,11 +64,12 @@ mentions AS (
   FROM transcripts
 ),
 aka AS (
+  -- ALL non-overlapping matches per turn (parallel unnests zip
+  -- positionally in DuckDB), mirroring extract.py's findall semantics
   SELECT conv_id, turn_idx,
-         regexp_extract(text, '{AKA_RE}', 1) AS surface_a,
-         regexp_extract(text, '{AKA_RE}', 2) AS surface_b
+         unnest(regexp_extract_all(text, '{AKA_RE}', 1)) AS surface_a,
+         unnest(regexp_extract_all(text, '{AKA_RE}', 2)) AS surface_b
   FROM transcripts
-  WHERE regexp_matches(text, '{AKA_RE}')
 ),
 linked AS (
   SELECT m.conv_id, m.turn_idx, m.kind, m.surface,

@@ -80,10 +80,10 @@ def run_pipeline(
 
     def build_links() -> DataFrame:
         tail = link.link_tail(link.unmatched_surfaces(linked), adict)
-        # aka extraction is two regexp_extract calls — always take the
-        # pure-JVM engine here (identical semantics, tested); the second
-        # full-corpus Arrow transfer would double the Python cost for a
-        # pattern that appears in a minority of turns
+        # aka extraction is a prefiltered regexp_extract_all + zip — always
+        # take the pure-JVM engine here (identical semantics, parity
+        # tested); a second full-corpus Arrow transfer would double the
+        # Python cost for a pattern that appears in a minority of turns
         aka = extract.extract_aka_pairs(transcripts, engine="sql")
         aka_res = assemble.resolve_surfaces(
             aka, adict, ["surface_a", "surface_b"]

@@ -22,9 +22,17 @@ DEFAULT_SALTS = 16
 
 
 def _salt_col(n_salts: int) -> Column:
-    # deterministic per-row salt: spread rows of a hot key uniformly
-    # without RNG (rand() would break resume/retry determinism).
-    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), n_salts)
+    # Salt = map partition id mod n_salts. Spark's partial (map-side)
+    # aggregation already collapses a hot key to ONE partial row per map
+    # partition, so the per-partition id is exactly the granularity that
+    # needs spreading across reducers; anything finer (row content, RNG)
+    # is collapsed again before the shuffle anyway. Deterministic under
+    # task retry: a retried task recomputes the same partition and gets
+    # the same id. (Content-based salts fail here: the hot key's rows are
+    # often byte-identical, so xxhash64(content) sends them all to one
+    # reducer; monotonically_increasing_id carries the same
+    # partition-layout dependence as this without being more deterministic.)
+    return F.pmod(F.spark_partition_id().cast("long"), F.lit(n_salts))
 
 
 def salted_agg(

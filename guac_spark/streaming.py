@@ -9,11 +9,12 @@ pkg/handler/processor/process/process.go:85-164). Spark-first shape:
     parquet files = newly collected documents);
   * Trigger.AvailableNow drains everything collected so far and stops
     (batch-incremental, the GUAC poll-loop analog);
-  * foreachBatch runs the extraction stage per micro-batch and appends to
-    the triples stream table; the streaming checkpoint is the ack — a
-    re-run never reprocesses acknowledged files (exactly-once end to end,
-    since the extraction output is deterministic and the append is keyed
-    by batch id).
+  * foreachBatch runs the extraction stage per micro-batch and lands the
+    output under a _batch_id partition via dynamic partition overwrite;
+    the streaming checkpoint is the ack — a re-run never reprocesses
+    acknowledged files, and a replayed (crashed-before-ack) batch
+    overwrites its own partition instead of duplicating rows, so the sink
+    is exactly-once end to end.
 
 GUAC has no windows/watermarks in its temporal logic (SURVEY.md §2.8);
 `windowed_mention_counts` below adds standard event-time windowing +
@@ -62,9 +63,16 @@ def incremental_extract(
         staged = extract.dedupe_staging(batch_df)
         mentions = extract.extract_mentions(staged, engine=engine)
         linked = link.link_exact(mentions, alias_dict)
+        # idempotent per-batch sink: dynamic partition overwrite keyed by
+        # _batch_id — a crash/retry after the write but before the
+        # streaming checkpoint commits replays the micro-batch and simply
+        # overwrites its own partition, so foreachBatch + this sink is
+        # exactly-once end to end (extraction output is deterministic)
         (
             linked.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
             .parquet(out_path)
         )
         n_batches["n"] += 1
@@ -84,11 +92,17 @@ def windowed_mention_counts(
     input_dir: str,
     window: str = "1 day",
     watermark: str = "2 days",
+    output_mode: str = "append",
 ) -> DataFrame:
     """Event-time windowed mention volume with late-data watermark.
 
-    Streaming aggregation demo over the same file source; returns the
-    completed result via an in-memory sink (AvailableNow drains and stops).
+    output_mode='append' (default) is the 10^12-turn shape: a window is
+    emitted exactly once, when the watermark passes its end, and its state
+    is then evicted — late data beyond the watermark is dropped and state
+    stays bounded. Windows still open when the AvailableNow drain stops
+    are intentionally NOT emitted (they'd emit on the next drain).
+    output_mode='complete' re-emits every window each trigger and retains
+    all state (watermark inert) — demo/debug only, unbounded state.
     """
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
@@ -111,7 +125,7 @@ def windowed_mention_counts(
     )
     name = "guac_windowed_mentions"
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

@@ -61,6 +61,20 @@ def test_mixed_grammar_single_turn(spark):
         ]
 
 
+def test_multiple_aka_per_turn_both_engines(spark):
+    # two aka patterns in one turn: both engines must emit BOTH pairs
+    # (regression: the sql engine used to take only the first match)
+    t = _mini(
+        spark,
+        ["@ada-lovelace aka @ada-l and @grace-hopper aka @grace-h done"],
+    )
+    want = [("ada-lovelace", "ada-l"), ("grace-hopper", "grace-h")]
+    for engine in ("arrow", "sql"):
+        aka = extract.extract_aka_pairs(t, engine=engine).collect()
+        got = sorted((r["surface_a"], r["surface_b"]) for r in aka)
+        assert got == want, engine
+
+
 def test_staging_dedupe_by_content_hash(spark):
     t = _mini(spark, ["dup text", "other"])
     staged = t.unionByName(t.limit(1))  # duplicate row 0
