@@ -163,8 +163,69 @@ def _q_find_software(spark, sf):
     return graph.find_software(_ctx(spark, sf)["vertices"], "lovel")
 
 
+def _q_find_software_idx(spark, sf):
+    verts = _ctx(spark, sf)["vertices"]
+    idx = graph.build_substring_index(verts)
+    return graph.find_software_indexed(idx, verts, "lovel")
+
+
 def _q_page(spark, sf):
     return graph.page_vertices(_ctx(spark, sf)["vertices"], after="8", first=20)
+
+
+def _q_page_total(spark, sf):
+    page = graph.page_vertices_connection(
+        _ctx(spark, sf)["vertices"], after="8", first=20
+    )
+    return page.select(
+        "vertex_id", "kind", "canonical",
+        F.col("has_next_page").cast("int").alias("has_next_page"),
+        "end_cursor", "total_count",
+    )
+
+
+def _q_path(spark, sf):
+    t = _ctx(spark, sf)
+    nodes = graph.shortest_path_nodes(
+        t["edges"], oracle.SEED_ENTITY, oracle.PATH_TARGET,
+        max_hops=oracle.PATH_HOPS,
+    )
+    rows = [(i, n) for i, n in enumerate(nodes)] if nodes else []
+    return spark.createDataFrame(rows, "step int, node string")
+
+
+def _q_filter_spec(spark, sf):
+    return graph.filter_vertices_spec(
+        _ctx(spark, sf)["vertices"], attrs_subset={"ns": "person"},
+        contains="-l",
+    ).select("vertex_id", "kind", "canonical")
+
+
+def _q_vuln_reach(spark, sf):
+    t = _ctx(spark, sf)
+    return graph.vuln_reachability(
+        t["edges"], t["triples"], t["transcripts"], oracle.VULN_ENTITY,
+        max_hops=2,
+    ).select("node", "dist", _us("last_seen").alias("last_seen_us"))
+
+
+def _q_delete_cascade(spark, sf):
+    """Real delete on a cloned warehouse (copy-on-write snapshots), then
+    the surviving edge table — exercises Warehouse.delete_vertices, not a
+    filter re-statement."""
+    import tempfile
+
+    from guac_spark.warehouse import Warehouse
+
+    t = _ctx(spark, sf)
+    root = tempfile.mkdtemp(prefix="guac_del_")
+    wh = Warehouse(root)
+    wh.write_snapshot(t["vertices"], "vertices", stage="clone")
+    wh.write_snapshot(t["edges"], "edges", stage="clone")
+    wh.delete_vertices(spark, [oracle.CELEB_ENTITY])
+    return wh.read(spark, "edges").select(
+        "edge_id", "src", "dst", "pred", "origin", "document_ref"
+    )
 
 
 def _q_blob_dedup(spark, sf):
@@ -246,7 +307,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conv_rollup": _q_conv_rollup,
         "q_stale": _q_stale,
         "q_find_software": _q_find_software,
+        "q_find_software_idx": _q_find_software_idx,
         "q_page": _q_page,
+        "q_page_total": _q_page_total,
+        "q_path": _q_path,
+        "q_filter_spec": _q_filter_spec,
+        "q_vuln_reach": _q_vuln_reach,
+        "q_delete_cascade": _q_delete_cascade,
         "q_blob_dedup": _q_blob_dedup,
         "q_role_dist": _q_role_dist,
         "q_keep_latest": _q_keep_latest,

@@ -80,12 +80,13 @@ def main() -> None:
 
         # --- end-to-end pipeline (fresh warehouse every run) -------------
         wh = os.path.join(tmp, "wh")
+        engine = os.environ.get("SPARK_GRAFT_ENGINE", "auto")
         t0 = time.time()
         res = pipeline.run_pipeline(spark, sf_dir, warehouse_root=wh,
-                                    engine="arrow", resume=False)
+                                    engine=engine, resume=False)
         pipe_sec = time.time() - t0
         n_triples = res.triples
-        n_turns = res.tables["transcripts"].count()
+        n_turns = res.turns
 
         tables = res.tables
         queries = {} if os.environ.get("SPARK_GRAFT_PIPELINE_ONLY") else {

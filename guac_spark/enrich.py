@@ -13,9 +13,15 @@ recurring batch job over the materialized graph:
      the network certifier — a broadcast join against an enrichment
      snapshot table is the 100 TB pattern; live HTTP would be a rate-capped
      mapInPandas);
-  3. append the new evidence edges + ledger rows via snapshot commit —
-     re-running the loop is idempotent and converges to zero stale work,
-     the exact semantics of GUAC's last-scan watermark.
+  3. append the new evidence edges + ledger rows via APPEND snapshots
+     (warehouse.append_snapshot): a round costs O(new evidence), never
+     O(graph) — the base edges table is not touched, evidence lands in a
+     separate `edges_evidence` table unioned at read time
+     (edges_with_evidence). Re-running the loop is idempotent and
+     converges to zero stale work, the exact semantics of GUAC's
+     last-scan watermark. Evidence edge_ids are deterministic and
+     disjoint from extraction edges by origin='enricher', so the
+     read-time union needs no dedup shuffle.
 """
 
 from __future__ import annotations
@@ -27,6 +33,17 @@ from .warehouse import Warehouse
 
 ENRICH_PRED = "has_metadata"
 LEDGER_TABLE = "enrich_ledger"
+EVIDENCE_TABLE = "edges_evidence"
+
+
+def edges_with_evidence(spark: SparkSession, wh: Warehouse) -> DataFrame:
+    """Read-time union of extraction edges + enrichment evidence — the
+    full graph a query sees. No shuffle: both sides are already
+    edge_id-deduplicated and disjoint by origin."""
+    edges = wh.read(spark, "edges")
+    if wh.has(EVIDENCE_TABLE):
+        edges = edges.unionByName(wh.read(spark, EVIDENCE_TABLE))
+    return edges
 
 
 def pending_entities(
@@ -82,16 +99,10 @@ def run_enrichment(spark: SparkSession, warehouse_root: str) -> int:
         F.lit("enricher").alias("origin"),
         F.lit("enricher:0").alias("document_ref"),
     )
-    edges = wh.read(spark, "edges").unionByName(new_edges).dropDuplicates(
-        ["edge_id"]
-    )
-    wh.write_snapshot(edges, "edges", stage="enrich_edges")
+    # O(new evidence) appends — the base edges table is never rewritten
+    wh.append_snapshot(new_edges, EVIDENCE_TABLE, stage="enrich_edges")
     ledger_new = enriched.select(
         "canonical", "score", F.current_timestamp().alias("enriched_at")
     )
-    if wh.has(LEDGER_TABLE):
-        ledger = wh.read(spark, LEDGER_TABLE).unionByName(ledger_new)
-    else:
-        ledger = ledger_new
-    wh.write_snapshot(ledger, LEDGER_TABLE, stage="enrich_ledger")
+    wh.append_snapshot(ledger_new, LEDGER_TABLE, stage="enrich_ledger")
     return n

@@ -22,6 +22,16 @@ from pyspark.sql import functions as F
 
 from .skew import salted_count
 
+# broadcast a frontier/visited set only while it is provably small; past
+# this row count the set goes through a plain shuffle join and AQE picks
+# the strategy (VERDICT r1: unconditional broadcast collects the whole BFS
+# closure to the driver every hop — toward |V| at 100 TB)
+BROADCAST_ROW_LIMIT = 500_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= BROADCAST_ROW_LIMIT else df
+
 
 # --- point & filtered lookups (backends.go:29-82) --------------------------
 
@@ -45,10 +55,79 @@ def filter_vertices(vertices: DataFrame, kind: str | None = None,
     return out
 
 
+def vertex_attrs(vertices: DataFrame) -> DataFrame:
+    """Typed attribute map per vertex — the pkg-qualifier analog
+    (package.graphql:21-28). Entities carry {'ns': kind, 'name': tail};
+    turn vertices carry the empty map (the no-qualifiers case). Derived,
+    not stored: a pure column expression over canonical."""
+    name = F.regexp_extract("canonical", r"^ent:[a-z]+/(.+)$", 1)
+    attrs = F.when(
+        F.col("kind") == "turn",
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ),
+    ).otherwise(F.create_map(F.lit("ns"), F.col("kind"), F.lit("name"), name))
+    return vertices.withColumn("attrs", attrs)
+
+
+def filter_vertices_spec(
+    vertices: DataFrame,
+    kind: str | None = None,
+    contains: str | None = None,
+    attrs_subset: dict[str, str] | None = None,
+    match_only_empty_attrs: bool = False,
+) -> DataFrame:
+    """Full conjunctive filter spec including qualifier subset-match and
+    matchOnlyEmptyQualifiers (package.graphql:129-155,
+    keyvalue/backend.go:254-281): every (k, v) in attrs_subset must be
+    present in the vertex attrs map; extra attrs on the vertex are fine
+    (subset semantics). match_only_empty_attrs selects vertices whose
+    attrs map is empty, overriding attrs_subset like the reference."""
+    out = vertex_attrs(filter_vertices(vertices, kind, contains))
+    if match_only_empty_attrs:
+        out = out.filter(F.size("attrs") == 0)
+    elif attrs_subset:
+        for k, v in attrs_subset.items():
+            out = out.filter(F.col("attrs")[F.lit(k)] == v)
+    return out
+
+
 def find_software(vertices: DataFrame, text: str) -> DataFrame:
     """findSoftware substring scan (keyvalue/search.go:131-180)."""
     return vertices.filter(F.col("canonical").contains(text)).select(
         "vertex_id", "kind", "canonical"
+    )
+
+
+def build_substring_index(vertices: DataFrame, n: int = 3) -> DataFrame:
+    """(gram, vertex_id): distinct character n-grams of canonical — the
+    materialized ngram index SURVEY §2.6 promises for findSoftware at
+    scale. Written sorted/bucketed by gram, a probe is a point filter the
+    scan pushes down instead of a full-table substring pass."""
+    grams = F.explode(
+        F.expr(
+            f"transform(sequence(1, greatest(length(canonical) - {n - 1}, 1)),"
+            f" i -> substring(canonical, i, {n}))"
+        )
+    )
+    return vertices.select("vertex_id", grams.alias("gram")).distinct()
+
+
+def find_software_indexed(
+    index: DataFrame, vertices: DataFrame, text: str, n: int = 3
+) -> DataFrame:
+    """findSoftware via the ngram index: probe one gram of the query
+    (point filter on the index key), then verify the full substring on
+    the candidate set only. Identical output to find_software; candidate
+    cost is index-selectivity, not corpus size. Queries shorter than the
+    gram size fall back to the scan."""
+    if len(text) < n:
+        return find_software(vertices, text)
+    cands = index.filter(F.col("gram") == text[:n]).select("vertex_id")
+    return (
+        vertices.join(cands, on="vertex_id")
+        .filter(F.col("canonical").contains(text))
+        .select("vertex_id", "kind", "canonical")
     )
 
 
@@ -60,6 +139,34 @@ def page_vertices(vertices: DataFrame, after: str | None, first: int
     if after is not None:
         out = out.filter(F.col("vertex_id") > after)
     return out.orderBy("vertex_id").limit(first)
+
+
+def page_vertices_connection(
+    vertices: DataFrame, after: str | None, first: int
+) -> DataFrame:
+    """Connection-shaped page: rows + totalCount + pageInfo
+    (package.graphql:219-239: totalCount, hasNextPage, endCursor), all as
+    columns so the result is one flat relation. totalCount is the
+    cursor-independent full count (reference semantics); hasNextPage
+    comes from fetching first+1 keys and keeping first."""
+    total = vertices.agg(F.count("*").cast("long").alias("total_count"))
+    filtered = vertices
+    if after is not None:
+        filtered = filtered.filter(F.col("vertex_id") > after)
+    w = Window.orderBy("vertex_id")
+    probe = (
+        filtered.orderBy("vertex_id").limit(first + 1)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy(F.lit(1))))
+    )
+    page = (
+        probe.filter(F.col("_rn") <= first)
+        .withColumn("has_next_page", F.col("_n") > first)
+        .withColumn("end_cursor", F.max("vertex_id").over(
+            Window.partitionBy(F.lit(1))))
+        .drop("_rn", "_n")
+    )
+    return page.crossJoin(F.broadcast(total))
 
 
 # --- neighbor expansion (path.graphql:202-211) ------------------------------
@@ -99,6 +206,11 @@ def bfs_distances(edges: DataFrame, seed: str, max_hops: int = 4,
     one anti-join against visited. Set-at-a-time — the whole frontier moves
     in one shuffle regardless of node count (vs GUAC's RPC-per-node BFS).
     localCheckpoint per hop cuts lineage for deep traversals.
+
+    The frontier/visited sets are broadcast ONLY while provably small
+    (row-count check per hop); once they grow past BROADCAST_ROW_LIMIT the
+    hop falls back to shuffle joins — the visited set trends toward |V|,
+    and broadcasting it would collect the whole closure to the driver.
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst", "pred")
@@ -113,21 +225,23 @@ def bfs_distances(edges: DataFrame, seed: str, max_hops: int = 4,
 
     visited = spark.createDataFrame([(seed, 0)], "node string, dist int")
     frontier = visited
+    n_frontier, n_visited = 1, 1
     for hop in range(1, max_hops + 1):
-        # frontier/visited are tiny relative to the edge table — broadcast
-        # both so each hop is a single scan of adj with zero shuffle
         nxt = (
-            adj.join(F.broadcast(frontier), frontier["node"] == adj["src"])
+            adj.join(_maybe_broadcast(frontier, n_frontier),
+                     frontier["node"] == adj["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(F.broadcast(visited.select("node")), on="node",
-                  how="left_anti")
+            .join(_maybe_broadcast(visited.select("node"), n_visited),
+                  on="node", how="left_anti")
             .withColumn("dist", F.lit(hop))
         )
         nxt = nxt.localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        n_visited += n_frontier
         frontier = nxt
     return visited
 
@@ -145,8 +259,28 @@ def shortest_path_nodes(edges: DataFrame, a: str, b: str, max_hops: int = 6,
                         ) -> list[str] | None:
     """The actual node path, reconstructed from parent pointers — the
     keyvalue `path` semantics (keyvalue/path.go:83-152). Deterministic:
-    each node keeps its lexicographically smallest parent, so among all
-    shortest paths the same one is returned at any parallelism.
+    each node keeps its lexicographically smallest parent (min over ALL
+    its distance-(d-1) neighbors, since a BFS layer IS the exact distance
+    layer), so among all shortest paths the same one is returned at any
+    parallelism.
+
+    Reconstruction walks the parent chain backward with one single-row
+    lookup per hop against the (checkpointed) parent table — never
+    collecting the visited closure to the driver.
+    """
+    parents = bfs_parents(edges, a, max_hops, using_only, stop_at=b)
+    if parents is None:
+        return None
+    return reconstruct_path(parents, a, b)
+
+
+def bfs_parents(edges: DataFrame, seed: str, max_hops: int = 6,
+                using_only: list[str] | None = None,
+                stop_at: str | None = None) -> DataFrame | None:
+    """(node, dist, parent) BFS tree from seed; parent is the
+    lexicographically smallest distance-(d-1) neighbor (deterministic).
+    Returns None if stop_at is given and unreachable within max_hops.
+    Broadcasts are gated on frontier/visited size like bfs_distances.
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst", "pred")
@@ -157,45 +291,81 @@ def shortest_path_nodes(edges: DataFrame, a: str, b: str, max_hops: int = 6,
     ).distinct().localCheckpoint(eager=True)
 
     visited = spark.createDataFrame(
-        [(a, 0, None)], "node string, dist int, parent string"
+        [(seed, 0, None)], "node string, dist int, parent string"
     )
     frontier = visited.select("node")
+    n_frontier, n_visited = 1, 1
+    found = stop_at is None
     for hop in range(1, max_hops + 1):
         nxt = (
-            adj.join(F.broadcast(frontier), frontier["node"] == adj["src"])
+            adj.join(_maybe_broadcast(frontier, n_frontier),
+                     frontier["node"] == adj["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("src").alias("parent"))  # deterministic parent
-            .join(F.broadcast(visited.select("node")), on="node",
-                  how="left_anti")
+            .join(_maybe_broadcast(visited.select("node"), n_visited),
+                  on="node", how="left_anti")
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
-            return None
+        n_frontier = nxt.count()
+        if n_frontier == 0:
+            break
         visited = visited.unionByName(
             nxt.select("node", "dist", "parent")
         ).localCheckpoint(eager=True)
-        if nxt.filter(F.col("node") == b).limit(1).count() > 0:
+        n_visited += n_frontier
+        if stop_at is not None and (
+            nxt.filter(F.col("node") == stop_at).limit(1).count() > 0
+        ):
+            found = True
             break
         frontier = nxt.select("node")
-    parents = {r["node"]: r["parent"] for r in visited.collect()}
-    if b not in parents:
+    if not found:
         return None
+    return visited
+
+
+def reconstruct_path(parents: DataFrame, a: str, b: str) -> list[str] | None:
+    """Walk parent pointers b -> a; one single-row filter per hop (the
+    parent table is checkpointed, so each lookup is a cheap scan, and the
+    driver only ever holds the path itself)."""
     path = [b]
-    while path[-1] != a:
-        path.append(parents[path[-1]])
+    cur = b
+    while cur != a:
+        row = parents.filter(F.col("node") == cur).select("parent").first()
+        if row is None or row["parent"] is None:
+            return None
+        cur = row["parent"]
+        path.append(cur)
     return list(reversed(path))
 
 
 # --- toposort (guacanalytics/toposort.go:26-61) ------------------------------
 
-def toposort_levels(edges: DataFrame, pred: str = "replies_to") -> DataFrame:
+_TURN_CONV_RE = r"^turn:(.+):-?[0-9]+$"
+
+
+def toposort_levels(edges: DataFrame, pred: str = "replies_to",
+                    mode: str = "auto") -> DataFrame:
     """Kahn's algorithm levels over the directed `pred` subgraph.
 
     Edge (src, dst) reads 'src depends on dst' (a reply depends on its
     parent turn), so level(node) = 0 for nodes with no dst-edges, else
-    1 + max(level of its parents). Iterative peel: per round, remove
-    in-degree-0 nodes; raises on cycles like the reference.
+    1 + max(level of its parents). Raises on cycles like the reference
+    (guacanalytics/toposort.go:26-61).
+
+    Two physical strategies, identical output:
+      * grouped (the transcript fast path): reply chains are
+        conversation-local by construction — every edge stays inside one
+        turn:<conv>:<idx> namespace — so levels are computed per
+        conversation in ONE grouped applyInPandas pass: a single shuffle
+        on conv_id, rounds independent of chain depth. At 100 TB a
+        mega-conversation's 10^5-deep chain costs one pandas group, not
+        10^5 Spark jobs.
+      * peel (general-graph fallback): iterative in-degree-0 removal,
+        O(depth) driver rounds — kept for arbitrary node ids /
+        cross-group edges and as the cycle-detection reference.
+    mode='auto' picks grouped iff every edge is conv-local.
     """
     e = (
         edges.filter(F.col("pred") == pred)
@@ -203,33 +373,93 @@ def toposort_levels(edges: DataFrame, pred: str = "replies_to") -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if mode == "auto":
+        probe = e.withColumn(
+            "gc", F.regexp_extract("child", _TURN_CONV_RE, 1)
+        ).withColumn("gp", F.regexp_extract("parent", _TURN_CONV_RE, 1))
+        n_bad = probe.filter(
+            (F.col("gc") == "") | (F.col("gc") != F.col("gp"))
+        ).limit(1).count()
+        mode = "grouped" if n_bad == 0 else "peel"
+    if mode == "grouped":
+        return _toposort_grouped(e)
+    return _toposort_peel(e)
+
+
+def _toposort_grouped(e: DataFrame) -> DataFrame:
+    """Per-conversation Kahn in one applyInPandas pass (conv-local edges).
+
+    Cycle detection still applies per group (raises, failing the job, the
+    distributed analog of the reference's error return).
+    """
+    import pandas as pd
+
+    def levels(pdf: pd.DataFrame) -> pd.DataFrame:
+        from collections import defaultdict, deque
+
+        children = defaultdict(list)  # parent -> [child]
+        n_parents: dict[str, int] = {}
+        nodes = set()
+        for c, p in zip(pdf["child"], pdf["parent"]):
+            children[p].append(c)
+            n_parents[c] = n_parents.get(c, 0) + 1
+            nodes.add(c)
+            nodes.add(p)
+        level = {n: 0 for n in nodes if n not in n_parents}
+        q = deque(level)
+        done = 0
+        while q:
+            p = q.popleft()
+            done += 1
+            for c in children.get(p, ()):
+                level[c] = max(level.get(c, 0), level[p] + 1)
+                n_parents[c] -= 1
+                if n_parents[c] == 0:
+                    q.append(c)
+        if done != len(nodes):
+            raise ValueError("cycle detected in replies_to subgraph")
+        return pd.DataFrame(
+            {"node": list(level.keys()), "level": list(level.values())}
+        )
+
+    grouped = e.withColumn(
+        "gc", F.regexp_extract("child", _TURN_CONV_RE, 1)
+    )
+    return grouped.groupBy("gc").applyInPandas(levels, "node string, level int")
+
+
+def _toposort_peel(e: DataFrame) -> DataFrame:
+    """Iterative in-degree-0 peel; O(depth) driver rounds. Broadcasts of
+    the free layer are gated on size (a level-0 layer can hold most of
+    the graph)."""
     nodes_df = (
         e.select(F.col("child").alias("node"))
         .unionByName(e.select(F.col("parent").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    spark = edges.sparkSession
+    spark = e.sparkSession
     out = spark.createDataFrame([], "node string, level int")
     remaining_e = e
     remaining_n = nodes_df
     level = 0
     while remaining_n.limit(1).count() > 0:
-        # nodes with no remaining parent edge are free this round; the free
-        # set is one peel layer — broadcast it into the anti-joins
+        # nodes with no remaining parent edge are free this round
         free = remaining_n.join(
             remaining_e.select(F.col("child").alias("node")).distinct(),
             on="node",
             how="left_anti",
         ).localCheckpoint(eager=True)
-        if free.limit(1).count() == 0:
-            raise ValueError(f"cycle detected in {pred!r} subgraph")
+        n_free = free.count()
+        if n_free == 0:
+            raise ValueError("cycle detected in replies_to subgraph")
         out = out.unionByName(free.withColumn("level", F.lit(level)))
         remaining_n = remaining_n.join(
-            F.broadcast(free), on="node", how="left_anti"
+            _maybe_broadcast(free, n_free), on="node", how="left_anti"
         ).localCheckpoint(eager=True)
         remaining_e = remaining_e.join(
-            F.broadcast(free.withColumnRenamed("node", "parent")),
+            _maybe_broadcast(free.withColumnRenamed("node", "parent"),
+                             n_free),
             on="parent", how="left_anti"
         ).localCheckpoint(eager=True)
         level += 1
@@ -290,6 +520,35 @@ def stale_entities(triples: DataFrame, transcripts: DataFrame,
         .agg(F.max("ts").alias("last_seen"))
     )
     return mention_ts.filter(F.col("last_seen") < F.lit(cutoff))
+
+
+def vuln_reachability(
+    edges: DataFrame,
+    triples: DataFrame,
+    transcripts: DataFrame,
+    vuln_entity: str,
+    max_hops: int = 2,
+) -> DataFrame:
+    """Vulnerability blast-radius composition — the certifyVuln +
+    transitive-dependency reachability query
+    (/root/reference/pkg/guacanalytics/patchPlanning.go:131; REST
+    'what depends on the vulnerable node' analog): every node within
+    max_hops of the vulnerable entity, with the freshest observation
+    (latest mention timestamp) of each reached entity attached — BFS
+    composed with keep-latest, exactly the two primitives the reference
+    composes. Nodes without a mention timestamp (turns, the seed) carry
+    null last_seen."""
+    reach = bfs_distances(edges, vuln_entity, max_hops=max_hops)
+    latest = (
+        triples.filter(F.col("pred") == "mentions")
+        .join(transcripts.select("conv_id", "turn_idx", "ts"),
+              on=["conv_id", "turn_idx"])
+        .groupBy(F.col("obj").alias("node"))
+        .agg(F.max("ts").alias("last_seen"))
+    )
+    return reach.join(latest, on="node", how="left").select(
+        "node", "dist", "last_seen"
+    )
 
 
 def conversation_rollup(edges: DataFrame) -> DataFrame:

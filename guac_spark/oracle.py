@@ -179,7 +179,9 @@ edges AS (
 SEED_ENTITY = "ent:person/grace-hopper"
 CELEB_ENTITY = "ent:person/ada-lovelace"
 PATH_TARGET = "ent:topic/topic_7"
+VULN_ENTITY = "ent:tool/tool_error"
 BFS_HOPS = 3
+PATH_HOPS = 4
 STALE_CUTOFF = "2024-06-01 00:00:00"
 
 KG_ORACLES: dict[str, str] = {
@@ -301,6 +303,96 @@ FROM transcripts GROUP BY role
     "q_role_dist": KG_PRELUDE + """
 SELECT role, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
 FROM transcripts GROUP BY role
+""",
+    # path(subject, target) with parent-pointer reconstruction
+    # (keyvalue/path.go:83-152): BFS layers, parent = lexicographically
+    # smallest distance-(d-1) neighbor, then walk target -> seed
+    "q_path": KG_PRELUDE + f""",
+adj AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+walk AS (
+  SELECT '{SEED_ENTITY}' AS node, 0 AS dist
+  UNION
+  SELECT adj.b, walk.dist + 1
+  FROM walk JOIN adj ON adj.a = walk.node
+  WHERE walk.dist < {PATH_HOPS}
+),
+dmin AS MATERIALIZED (SELECT node, min(dist) AS d FROM walk GROUP BY node),
+par AS MATERIALIZED (
+  SELECT n.node, min(p.node) AS parent
+  FROM dmin n
+  JOIN adj ON adj.b = n.node
+  JOIN dmin p ON p.node = adj.a AND p.d = n.d - 1
+  GROUP BY n.node
+),
+chain AS MATERIALIZED (
+  SELECT '{PATH_TARGET}' AS node,
+         (SELECT d FROM dmin WHERE node = '{PATH_TARGET}') AS step
+  UNION
+  SELECT par.parent, chain.step - 1
+  FROM chain JOIN par ON par.node = chain.node
+  WHERE chain.step > 0
+)
+SELECT cast(step AS INT) AS step, node FROM chain
+""",
+    # delete + cascade (delete.graphql; keyvalue path.go:195-197): the
+    # graph after removing the celebrity vertex and every incident edge
+    "q_delete_cascade": KG_PRELUDE + f"""
+SELECT edge_id, src, dst, pred, origin, document_ref FROM edges
+WHERE src <> '{CELEB_ENTITY}' AND dst <> '{CELEB_ENTITY}'
+""",
+    # conjunctive filter spec with qualifier subset-match
+    # (package.graphql:129-155): attrs {{'ns': 'person'}} + substring
+    "q_filter_spec": KG_PRELUDE + """
+SELECT vertex_id, kind, canonical FROM vertices
+WHERE canonical LIKE 'ent:person/%' AND canonical LIKE '%-l%'
+""",
+    # connection-shaped pagination with totalCount / hasNextPage /
+    # endCursor (package.graphql:219-239)
+    "q_page_total": KG_PRELUDE + """,
+pg AS (
+  SELECT vertex_id, kind, canonical FROM vertices
+  WHERE vertex_id > '8' ORDER BY vertex_id LIMIT 20
+)
+SELECT p.vertex_id, p.kind, p.canonical,
+       cast((SELECT count(*) FROM vertices WHERE vertex_id > '8') > 20
+            AS INT) AS has_next_page,
+       (SELECT max(vertex_id) FROM pg) AS end_cursor,
+       (SELECT count(*) FROM vertices) AS total_count
+FROM pg p
+""",
+    # vuln reachability composition (§2.7.4): blast-radius BFS from the
+    # vulnerable tool + freshest observation per reached entity
+    "q_vuln_reach": KG_PRELUDE + f""",
+adj AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+walk AS (
+  SELECT '{VULN_ENTITY}' AS node, 0 AS dist
+  UNION
+  SELECT adj.b, walk.dist + 1
+  FROM walk JOIN adj ON adj.a = walk.node
+  WHERE walk.dist < 2
+),
+vreach AS MATERIALIZED (SELECT node, cast(min(dist) AS INT) AS dist FROM walk GROUP BY node),
+latest AS MATERIALIZED (
+  SELECT obj AS node, epoch_us(max(ts)) AS last_seen_us
+  FROM triples t JOIN transcripts tr USING (conv_id, turn_idx)
+  WHERE t.pred = 'mentions' GROUP BY obj
+)
+SELECT r.node, r.dist, l.last_seen_us
+FROM vreach r LEFT JOIN latest l ON l.node = r.node
+""",
+    # findSoftware via the materialized ngram index — same result as the
+    # scan, so the scan oracle is the gate
+    "q_find_software_idx": KG_PRELUDE + """
+SELECT vertex_id, kind, canonical FROM vertices
+WHERE canonical LIKE '%lovel%'
 """,
 }
 

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 from . import assemble, cc, corpus, extract, link
 from .warehouse import Warehouse
 
+# bucket count for the mentions_linked snapshot — fixed so every
+# parallelism level reads the identical layout (scaling runs compare
+# byte-identical inputs)
+N_BUCKETS = 64
+
 
 @dataclass
 class PipelineResult:
@@ -36,13 +41,14 @@ class PipelineResult:
     stage_secs: dict[str, float] = field(default_factory=dict)
     wall_sec: float = 0.0
     triples: int = 0
+    turns: int = 0
 
 
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
     warehouse_root: str,
-    engine: str = "arrow",
+    engine: str = "auto",
     resume: bool = False,
 ) -> PipelineResult:
     """Run (or resume) the full construction pipeline.
@@ -50,10 +56,20 @@ def run_pipeline(
     With resume=True, stages whose output snapshot is already committed are
     read back instead of recomputed — a killed run restarts exactly from the
     last committed snapshot with no duplicate work.
+
+    engine='auto' picks the measured-faster extraction engine for the
+    session's parallelism: the pure-JVM 'sql' path at >= 8 cores (no
+    Arrow transfer at all), the Arrow path below (both are semantically
+    identical and parity-tested; 'arrow' remains the north-rule
+    vectorized-UDF reference implementation).
     """
     wh = Warehouse(warehouse_root)
     res = PipelineResult()
     t0 = time.time()
+    if engine == "auto":
+        engine = (
+            "sql" if spark.sparkContext.defaultParallelism >= 8 else "arrow"
+        )
 
     def stage(name: str, build, **write_kw) -> DataFrame:
         if resume and wh.has(name):
@@ -74,9 +90,17 @@ def run_pipeline(
 
     def build_linked() -> DataFrame:
         mentions = extract.extract_mentions(transcripts, engine=engine)
-        return link.link_exact(mentions, adict)
+        # cluster by conv_id before the bucketed write: one file per
+        # bucket, and the hash layout is recorded in the catalog so the
+        # downstream triples dedup (keys ⊇ conv_id) runs with NO exchange
+        # — the pipeline's second-largest shuffle folds into this write
+        return link.link_exact(mentions, adict).repartition(
+            N_BUCKETS, "conv_id"
+        )
 
-    linked = stage("mentions_linked", build_linked)
+    linked = stage(
+        "mentions_linked", build_linked, bucket_by=(N_BUCKETS, ["conv_id"])
+    )
 
     def build_links() -> DataFrame:
         tail = link.link_tail(link.unmatched_surfaces(linked), adict)
@@ -105,8 +129,18 @@ def run_pipeline(
     triples = stage(
         "triples", lambda: assemble.triples_final(linked, mapping)
     )
-    verts = stage("vertices", lambda: assemble.vertices(triples))
-    edgs = stage("edges", lambda: assemble.edges(triples))
+
+    # vertices and edges both derive from the committed triples snapshot
+    # and from nothing else — submit both write jobs concurrently so the
+    # Spark scheduler interleaves their tasks (hides each stage's barrier
+    # tail behind the other's work; the commit log is lock-guarded)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fv = ex.submit(stage, "vertices", lambda: assemble.vertices(triples))
+        fe = ex.submit(stage, "edges", lambda: assemble.edges(triples))
+        verts = fv.result()
+        edgs = fe.result()
 
     res.tables = {
         "transcripts": transcripts,
@@ -117,6 +151,8 @@ def run_pipeline(
         "vertices": verts,
         "edges": edgs,
     }
-    res.triples = triples.count()
+    # committed row counts from the snapshot summary — no extra count() jobs
+    res.triples = wh.committed_rows("triples") or triples.count()
+    res.turns = wh.committed_rows("transcripts") or transcripts.count()
     res.wall_sec = time.time() - t0
     return res

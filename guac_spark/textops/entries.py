@@ -53,6 +53,52 @@ def _cos(a: str, b: str) -> str:
     return f"{dp} / ({na} * {nb})"
 
 
+def _ann_lsh_oracle() -> str:
+    """Exact oracle for the LSH-bucketed ANN: the md5-derived integer
+    hyperplanes (similarity.hyperplane_planes) are rendered as SQL array
+    literals, so DuckDB computes byte-identical buckets and the whole
+    probe -> score -> rank pipeline is mirrored exactly."""
+    planes = similarity.hyperplane_planes()
+    terms = []
+    for i in range(planes.shape[0]):
+        lst = "[" + ", ".join(str(int(x)) for x in planes[i]) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(v, {lst}::DOUBLE[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    bucket_expr = "\n         + ".join(terms)
+    return f"""
+WITH emb_b AS (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+         {bucket_expr} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS vq, bucket FROM emb_b WHERE vec_id < 5
+),
+probes AS (
+  SELECT query_id, vq,
+         CASE WHEN cast(r.i AS INT) = 0 THEN bucket
+              ELSE xor(bucket, 1 << (cast(r.i AS INT) - 1)) END AS bucket
+  FROM q, range(0, 9) r(i)
+),
+c AS (
+  SELECT vec_id AS neighbor_id, v AS vc, bucket FROM emb_b WHERE vec_id >= 5
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id, {_cos('vq', 'vc')} AS cos
+  FROM probes JOIN c USING (bucket)
+)
+SELECT query_id, neighbor_id, cast(rank AS INT) AS rank,
+       round(cos, 6) AS cos
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 ORACLES: dict[str, str] = {
     "q_doc_dedup_exact": f"""
 WITH {_SDOCS.strip()}
@@ -214,7 +260,52 @@ SELECT doc_id, md5(text) AS fp_full,
        md5(substr(text, 1, 64)) AS fp_head
 FROM documents
 """,
+    # banded SimHash pair generation mirrored exactly: same md5 simhash as
+    # q_doc_simhash (staged corpus), 4x16-bit band blocking, true Hamming
+    # verify via per-32-bit-half xor popcount
+    "q_simhash_pairs": f"""
+WITH {_SDOCS.strip()},
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS tok
+  FROM sdocs
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, cast(b.i AS INT) AS bit,
+         sum(CASE WHEN (h >> cast(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(0, 64) b(i) GROUP BY doc_id, b.i
+),
+sh AS (
+  SELECT doc_id,
+         lower(lpad(to_hex(cast(sum(
+           CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0 END) AS UBIGINT)),
+           16, '0')) AS simhash
+  FROM bits GROUP BY doc_id
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE substr(x.simhash, 1, 4) = substr(y.simhash, 1, 4)
+     OR substr(x.simhash, 5, 4) = substr(y.simhash, 5, 4)
+     OR substr(x.simhash, 9, 4) = substr(y.simhash, 9, 4)
+     OR substr(x.simhash, 13, 4) = substr(y.simhash, 13, 4)
+)
+SELECT a, b, cast(
+  bit_count(xor(('0x' || substr(sa, 1, 8))::UBIGINT,
+                ('0x' || substr(sb, 1, 8))::UBIGINT))
+  + bit_count(xor(('0x' || substr(sa, 9, 8))::UBIGINT,
+                  ('0x' || substr(sb, 9, 8))::UBIGINT)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(('0x' || substr(sa, 1, 8))::UBIGINT,
+                    ('0x' || substr(sb, 1, 8))::UBIGINT))
+    + bit_count(xor(('0x' || substr(sa, 9, 8))::UBIGINT,
+                    ('0x' || substr(sb, 9, 8))::UBIGINT)) <= 8
+""",
 }
+
+ORACLES["q_ann_lsh"] = _ann_lsh_oracle()
 
 
 def _q_doc_dedup_exact(spark, sf):
@@ -245,7 +336,11 @@ def _q_simhash_pairs(spark, sf):
 
 
 def _q_embed_neardup(spark, sf):
-    return similarity.cosine_near_pairs(
+    # LSH-bucketed candidates + exact-cosine verify — the 100 TB path
+    # (cosine_near_pairs brute force remains the pytest ground truth);
+    # the oracle stays the exact all-pairs SQL, so this passing means the
+    # bucketed plan recovered every true pair
+    return similarity.cosine_near_pairs_lsh(
         similarity.staged_embeddings(similarity.load_embeddings(spark, sf)),
         0.99,
     )
@@ -289,10 +384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_minhash_pairs": _q_doc_minhash_pairs,
         "q_doc_ngram_pairs": _q_doc_ngram_pairs,
         "q_doc_simhash": _q_doc_simhash,
-        "q_simhash_pairs": _q_simhash_pairs,    # rows-only (no SQL analog)
+        "q_simhash_pairs": _q_simhash_pairs,
         "q_embed_neardup": _q_embed_neardup,
         "q_ann_topk": _q_ann_topk,
-        "q_ann_lsh": _q_ann_lsh,                # rows-only (approximate op)
+        "q_ann_lsh": _q_ann_lsh,
         "q_embed_centroids": _q_embed_centroids,
         "q_token_stats": _q_token_stats,
         "q_lang_id": _q_lang_id,

@@ -115,19 +115,37 @@ def ann_topk_bruteforce(
 
 # --- LSH-bucketed ANN (the scale path) --------------------------------------
 
+def hyperplane_planes(
+    n_bits: int = 8, seed: int = 11, dim: int = 64
+) -> np.ndarray:
+    """Deterministic integer hyperplanes derived from md5 — the same
+    construction is renderable as SQL literals, so the DuckDB oracle
+    computes byte-identical buckets (NOTES_r1 #4: the md5-integer trick
+    proven for simhash, applied to ANN). plane[i][d] in [-1000, 1000]."""
+    import hashlib
+
+    vals = np.empty((n_bits, dim), dtype=np.int64)
+    for i in range(n_bits):
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{seed}:{i}:{d}".encode()).digest()
+            vals[i, d] = int.from_bytes(h[:8], "big") % 2001 - 1000
+    return vals
+
+
 def hyperplane_buckets(
     emb: DataFrame, n_bits: int = 8, seed: int = 11, dim: int = 64
 ) -> DataFrame:
     """Random-hyperplane signature per vector: (vec_id, bucket).
 
-    Deterministic planes (seeded); computed in one Arrow pass.
+    Deterministic planes (md5-derived ints, see hyperplane_planes);
+    computed in one Arrow pass. Sign boundaries are robust: |dot| is
+    O(1000·sqrt(dim)) against ~1e-9 float error.
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_bits, dim))
+    planes = hyperplane_planes(n_bits, seed, dim).astype(np.float64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mat = np.stack(pdf["embedding"].to_numpy())
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             bits = (mat @ planes.T) > 0  # [n, n_bits]
             bucket = bits @ (1 << np.arange(n_bits))
             yield pd.DataFrame(
@@ -136,6 +154,53 @@ def hyperplane_buckets(
 
     return emb.select("vec_id", "embedding").mapInPandas(
         gen, "vec_id long, bucket long"
+    )
+
+
+def cosine_near_pairs_lsh(
+    emb: DataFrame, threshold: float = 0.99, n_bits: int = 8,
+    probe_hamming: int = 1
+) -> DataFrame:
+    """Near-dup pairs via hyperplane bucketing — the 100 TB path.
+
+    Candidates = pairs whose signatures agree within `probe_hamming` bits
+    (same bucket, plus neighbor-bucket probes for boundary recall); each
+    candidate is verified with the exact cosine, so precision is 1.0.
+    The all-pairs work is confined to within-bucket joins: O(sum of
+    bucket^2) instead of O(n^2). cosine_near_pairs (brute force) is the
+    recall ground truth in tests; a true near-dup (cosine ~ 1) is
+    near-colinear, so its two vectors share every signature bit except
+    for dots within float error of a plane — probe_hamming=1 covers that
+    boundary."""
+    from itertools import combinations
+
+    b = hyperplane_buckets(emb, n_bits=n_bits)
+    l = emb.join(b, on="vec_id").select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        _norm("embedding").alias("na"),
+        "bucket",
+    )
+    masks = [0] + [
+        sum(1 << i for i in c)
+        for r in range(1, probe_hamming + 1)
+        for c in combinations(range(n_bits), r)
+    ]
+    r = emb.join(b, on="vec_id").select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        _norm("embedding").alias("nb"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    return (
+        l.join(r, on="bucket")
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])  # multi-probe overlap
+        .withColumn("cos", _dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
     )
 
 

@@ -8,6 +8,8 @@ committed snapshot, a killed writer leaves no partial state, and a re-run
 resumes from the last committed snapshot exactly (north-rule requirement).
 On a real cluster every call here maps 1:1 onto Iceberg:
     write_snapshot  -> df.writeTo(tbl).createOrReplace() / MERGE INTO
+    append_snapshot -> df.writeTo(tbl).append()  (O(new rows), snapshot
+                       references prior manifests — no table rewrite)
     read            -> spark.read.format("iceberg").load(tbl)
     commits log     -> Iceberg snapshot metadata
     metrics table   -> a plain Iceberg append-only table
@@ -39,6 +41,11 @@ class Warehouse:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._log_path = os.path.join(root, "_commits.json")
+        # commit-log read-modify-write guard: independent stages (e.g.
+        # vertices + edges) commit concurrently from writer threads
+        import threading
+
+        self._log_lock = threading.Lock()
 
     # --- commit log -------------------------------------------------------
     def _read_log(self) -> dict[str, Any]:
@@ -57,8 +64,37 @@ class Warehouse:
         entry = self._read_log()["tables"].get(table)
         return entry["snapshot_id"] if entry else None
 
+    def committed_paths(self, table: str) -> list[str] | None:
+        """Data directories of the committed snapshot (an append snapshot
+        references prior directories plus the new one, like an Iceberg
+        snapshot referencing prior manifests)."""
+        entry = self._read_log()["tables"].get(table)
+        if entry is None:
+            return None
+        return entry.get("paths") or [entry["path"]]
+
     def table_path(self, table: str, snapshot_id: int) -> str:
         return os.path.join(self.root, table, f"snap-{snapshot_id}")
+
+    @staticmethod
+    def _file_lineage(path: str) -> list[tuple[int, int]]:
+        """(partition_id, rows) per data file from parquet footers only —
+        no second Spark job over the written data. The part index in the
+        file name is the writing task's partition id."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for dirpath, _dirs, files in os.walk(path):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                try:
+                    pid = int(fn.split("-")[1])
+                except (IndexError, ValueError):
+                    pid = -1
+                meta = pq.read_metadata(os.path.join(dirpath, fn))
+                out.append((pid, meta.num_rows))
+        return out
 
     # --- write ------------------------------------------------------------
     def write_snapshot(
@@ -67,50 +103,112 @@ class Warehouse:
         table: str,
         stage: str | None = None,
         partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
     ) -> int:
         """Write df as the next snapshot of `table`; returns snapshot id.
 
-        Collects per-partition row counts (lineage) in the same pass and
-        appends them to the metrics table before the commit flips.
+        Per-partition lineage comes from the written parquet footers (file
+        name part index = writing task partition id) — one metadata read
+        per file on the driver, no second Spark job over the data.
+
+        bucket_by=(n, cols) hash-buckets the files and registers the
+        snapshot in the session catalog so downstream aggregations on a
+        superset of `cols` need NO shuffle (the Iceberg bucket-partition /
+        sort-order analog). The bucket metadata lives in the session
+        catalog; a later session falls back to a plain parquet read of the
+        same files (correct, just re-shuffles) — on a real cluster the
+        catalog (Hive/Iceberg) persists it.
         """
+        return self._write(df, table, stage, partition_by, append=False,
+                           bucket_by=bucket_by)
+
+    def append_snapshot(
+        self, df: DataFrame, table: str, stage: str | None = None
+    ) -> int:
+        """Append-only commit: write ONLY the new rows as a fresh data
+        directory; the new snapshot references all prior directories plus
+        this one (the Iceberg append-snapshot analog). Cost is O(new rows)
+        regardless of table size — the shape a 100 TB enrichment loop
+        needs. Readers of older snapshots are unaffected (their directory
+        lists are immutable)."""
+        return self._write(df, table, stage, None, append=True)
+
+    def _write(
+        self,
+        df: DataFrame,
+        table: str,
+        stage: str | None,
+        partition_by: list[str] | None,
+        append: bool,
+        bucket_by: tuple[int, list[str]] | None = None,
+    ) -> int:
         t0 = time.time()
         prev = self.committed_snapshot(table)
         snap = (prev or 0) + 1
         path = self.table_path(table, snap)
         if os.path.exists(path):
             shutil.rmtree(path)  # leftover from a killed run — never committed
-        # stamp the writing partition id so lineage is recoverable from a
-        # single pruned-column scan of the committed files
-        stamped = df.withColumn("_part_id", F.spark_partition_id())
-        writer = stamped.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
-        # per-partition lineage: column-pruned scan of _part_id only
-        spark = df.sparkSession
-        lineage = (
-            spark.read.parquet(path)
-            .groupBy(F.col("_part_id").alias("partition_id"))
-            .count()
-            .collect()
-        )
+        catalog_table = None
+        if bucket_by:
+            import hashlib
+
+            n_buckets, cols = bucket_by
+            tag = hashlib.sha256(self.root.encode()).hexdigest()[:8]
+            catalog_table = f"wh_{tag}_{table}_snap_{snap}".replace("-", "_")
+            df.sparkSession.sql(f"DROP TABLE IF EXISTS {catalog_table}")
+            (
+                df.write.mode("overwrite").format("parquet")
+                .option("path", path)
+                .bucketBy(n_buckets, *cols)
+                .saveAsTable(catalog_table)
+            )
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+        lineage = self._file_lineage(path)
         wall = time.time() - t0
         now = time.time()
         metrics_rows = [
-            (stage or table, table, snap, r["partition_id"], r["count"],
-             wall, now)
-            for r in lineage
+            (stage or table, table, snap, pid, rows, wall, now)
+            for pid, rows in lineage
         ] or [(stage or table, table, snap, -1, 0, wall, now)]
-        self._append_metrics(spark, metrics_rows)
-        log = self._read_log()
-        log["tables"][table] = {
-            "snapshot_id": snap,
-            "path": path,
-            "committed_at": now,
-            "stage": stage or table,
-        }
-        self._write_log(log)
+        self._append_metrics(df.sparkSession, metrics_rows)
+        new_rows = int(sum(r for _, r in lineage))
+        with self._log_lock:
+            log = self._read_log()
+            paths = [path]
+            rows = new_rows
+            if append and prev is not None:
+                entry = log["tables"].get(table, {})
+                paths = (entry.get("paths") or [entry["path"]]) + [path]
+                if entry.get("rows") is not None:
+                    rows += entry["rows"]
+            entry = {
+                "snapshot_id": snap,
+                "paths": paths,
+                "committed_at": now,
+                "stage": stage or table,
+                # committed row count, already known from the footers —
+                # readers need no count() job (Iceberg snapshot-summary
+                # total-records analog)
+                "rows": rows,
+            }
+            if catalog_table:
+                entry["catalog_table"] = catalog_table
+            log["tables"][table] = entry
+            self._write_log(log)
         return snap
+
+    def committed_rows(self, table: str) -> int | None:
+        """Row count of the committed snapshot from the commit log (the
+        Iceberg snapshot-summary total-records analog); None for legacy
+        commits that predate the field."""
+        entry = self._read_log()["tables"].get(table)
+        if entry is None:
+            return None
+        return entry.get("rows")
 
     def _append_metrics(self, spark: SparkSession, rows: list[tuple]) -> None:
         # tiny control-plane append — written with pyarrow directly (no
@@ -138,11 +236,17 @@ class Warehouse:
 
     # --- read -------------------------------------------------------------
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        snap = self.committed_snapshot(table)
-        if snap is None:
+        entry = self._read_log()["tables"].get(table)
+        if entry is None:
             raise FileNotFoundError(f"table {table!r} has no committed snapshot")
-        df = spark.read.parquet(self.table_path(table, snap))
-        if "_part_id" in df.columns:
+        # bucketed snapshot: read through the catalog so the scan reports
+        # its hash partitioning and downstream aggs skip the shuffle
+        cat = entry.get("catalog_table")
+        if cat and spark.catalog.tableExists(cat):
+            return spark.table(cat)
+        paths = entry.get("paths") or [entry["path"]]
+        df = spark.read.parquet(*paths)
+        if "_part_id" in df.columns:  # legacy snapshots stamped lineage
             df = df.drop("_part_id")
         return df
 
@@ -171,4 +275,13 @@ class Warehouse:
         n_e = edges.count() - e_keep.count()
         self.write_snapshot(v_keep, "vertices", stage="delete")
         self.write_snapshot(e_keep, "edges", stage="delete")
+        # cascade into appended enrichment evidence too (compacts the
+        # evidence directory list back to one dir as a side effect)
+        if self.has("edges_evidence"):
+            ev = self.read(spark, "edges_evidence")
+            ev_keep = ev.filter(
+                ~F.col("src").isin(canonicals) & ~F.col("dst").isin(canonicals)
+            )
+            n_e += ev.count() - ev_keep.count()
+            self.write_snapshot(ev_keep, "edges_evidence", stage="delete")
         return n_v, n_e

@@ -28,7 +28,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--warehouse", required=True)
-    ap.add_argument("--engine", default="arrow", choices=["arrow", "sql"])
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "arrow", "sql"])
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
 

@@ -1,0 +1,113 @@
+"""Scale evidence for the distributed connected-components path.
+
+VERDICT r1 item 7: the salted label-propagation fallback (cc.py) had only
+run on small synthetic graphs. This script (a) proves output identity
+against exact union-find at a verification size, and (b) times the
+distributed path (driver_threshold=0) on a multi-million-edge equivalence
+graph with heavy skew — the shape CC would see if the alias universe grew
+with the corpus.
+
+Note on the corpus replicas: replicate_events scales conversations, not
+the alias inventory, so the real pipeline's equivalence set stays ~75
+edges at any replication — which is exactly WHY the driver-side union-find
+is the right default (equivalence set ≪ corpus). The synthetic graph here
+is the honest stand-in for an equivalence set that does grow.
+
+Graph shape (deterministic, seeded by construction not RNG):
+  * chains of length 16 (diameter stress for label prop),
+  * one celebrity star with 10% of all edges on a single hub (skew), and
+  * isolated pairs.
+
+Usage: SPARK_GRAFT_CPUS=32 python scripts/cc_scale_evidence.py [verify_edges] [scale_edges]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from guac_spark.cc import _union_find_local, connected_components  # noqa: E402
+from guac_spark.session import get_spark  # noqa: E402
+
+CHAIN = 16
+
+
+def synth_edges(spark, n_edges: int):
+    """Deterministic mixed-shape equivalence graph with n_edges rows."""
+    n_star = n_edges // 10
+    n_pairs = n_edges // 10
+    n_chain = n_edges - n_star - n_pairs
+    # chains over integer ids: edge (i, i+1) unless i ends a chain
+    chain = (
+        spark.range(n_chain)
+        .select(
+            F.format_string("c%012d", F.col("id")).alias("src"),
+            F.format_string(
+                "c%012d",
+                F.when((F.col("id") + 1) % CHAIN == 0, F.col("id"))
+                .otherwise(F.col("id") + 1),
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    star = spark.range(n_star).select(
+        F.lit("hub").alias("src"),
+        F.format_string("s%012d", F.col("id")).alias("dst"),
+    )
+    pairs = spark.range(n_pairs).select(
+        F.format_string("pa%012d", F.col("id")).alias("src"),
+        F.format_string("pb%012d", F.col("id")).alias("dst"),
+    )
+    return chain.unionByName(star).unionByName(pairs)
+
+
+def main() -> None:
+    verify_n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    scale_n = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="cc_scale_evidence", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # (a) identity at verification size
+    ve = synth_edges(spark, verify_n).localCheckpoint(eager=True)
+    t0 = time.time()
+    dist = connected_components(ve, driver_threshold=0, max_iter=40)
+    dist_rows = sorted(map(tuple, dist.collect()))
+    t_dist_verify = time.time() - t0
+    t0 = time.time()
+    pairs = [(r[0], r[1]) for r in ve.distinct().collect()]
+    uf_rows = sorted(_union_find_local(pairs))
+    t_uf = time.time() - t0
+    identical = dist_rows == uf_rows
+
+    # (b) wall time at scale size, distributed path only
+    se = synth_edges(spark, scale_n).localCheckpoint(eager=True)
+    n_scale = se.count()
+    t0 = time.time()
+    big = connected_components(se, driver_threshold=0, max_iter=40)
+    n_components = big.select("component").distinct().count()
+    t_dist_scale = time.time() - t0
+
+    print(json.dumps({
+        "identical_at_verify_size": identical,
+        "verify_edges": verify_n,
+        "t_distributed_verify_sec": round(t_dist_verify, 1),
+        "t_unionfind_sec": round(t_uf, 1),
+        "scale_edges": n_scale,
+        "scale_components": n_components,
+        "t_distributed_scale_sec": round(t_dist_scale, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,33 @@ def _embed(text: str) -> str:
     return "[[doc:" + base64.b64encode(text.encode()).decode() + "]]"
 
 
+def test_codec_sniff_decode_bz2_zstd_passthrough(spark):
+    import bz2 as _bz2
+
+    import pyarrow as pa
+
+    plain = b"plain text document"
+    bz = _bz2.compress(b"bzip2 payload")
+    zs = pa.compress(b"zstd payload " * 50, codec="zstd", asbytes=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(bz)), (3, bytearray(zs))],
+        "doc_id int, blob binary",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in unpack.decode_encoded(df, "blob", "text").collect()}
+    assert out[1] == "plain text document"
+    assert out[2] == "bzip2 payload"
+    assert out[3] == "zstd payload " * 50
+
+
+def test_zstd_frame_content_size_parse():
+    import pyarrow as pa
+
+    for n in (1, 100, 300, 70_000):
+        buf = pa.compress(b"a" * n, codec="zstd", asbytes=True)
+        assert unpack._zstd_frame_content_size(buf) == n
+
+
 def test_recursive_unpack(spark):
     leaf = "just a leaf"
     mid = "middle " + _embed(leaf)

@@ -17,26 +17,59 @@ def test_enrichment_converges_and_is_idempotent(spark):
     run_pipeline(spark, SF_SMALL, root)
     wh = Warehouse(root)
     e0 = wh.read(spark, "edges").count()
+    base_snap = wh.committed_snapshot("edges")
 
     n1 = enrich.run_enrichment(spark, root)
     assert n1 == 25  # every person entity enriched once
-    e1 = wh.read(spark, "edges").count()
-    assert e1 == e0 + n1
-    preds = {
-        r["pred"]
-        for r in wh.read(spark, "edges").select("pred").distinct().collect()
-    }
+    full = enrich.edges_with_evidence(spark, wh)
+    assert full.count() == e0 + n1
+    preds = {r["pred"] for r in full.select("pred").distinct().collect()}
     assert enrich.ENRICH_PRED in preds
 
-    # second pass: converged, nothing re-enriched, edges unchanged
+    # append-only: the base edges table was NOT rewritten — a round costs
+    # O(new evidence), independent of graph size
+    assert wh.committed_snapshot("edges") == base_snap
+    assert wh.read(spark, "edges").count() == e0
+
+    # second pass: converged, nothing re-enriched, graph unchanged
     n2 = enrich.run_enrichment(spark, root)
     assert n2 == 0
-    assert wh.read(spark, "edges").count() == e1
+    assert enrich.edges_with_evidence(spark, wh).count() == e0 + n1
 
     # provenance separates enrichment evidence from extraction evidence
-    assert (
-        wh.read(spark, "edges").filter("origin = 'enricher'").count() == n1
+    assert full.filter("origin = 'enricher'").count() == n1
+
+
+def test_evidence_appends_are_o_of_new(spark):
+    """Each enrichment round writes only its new rows; the evidence table
+    snapshot accumulates directories instead of rewriting."""
+    root = tempfile.mkdtemp(prefix="wh_enrich2_")
+    run_pipeline(spark, SF_SMALL, root)
+    wh = Warehouse(root)
+    enrich.run_enrichment(spark, root)
+    p1 = wh.committed_paths(enrich.EVIDENCE_TABLE)
+    assert len(p1) == 1
+    # widen the enrichment universe: topics now pending -> second append
+    todo = enrich.pending_entities(spark, wh, kinds=("topic",))
+    n_topics = todo.count()
+    assert n_topics > 0
+    import guac_spark.enrich as en
+
+    orig = en.pending_entities
+    en.pending_entities = lambda s, w, kinds=("person",): orig(
+        s, w, kinds=("topic",)
     )
+    try:
+        n2 = enrich.run_enrichment(spark, root)
+    finally:
+        en.pending_entities = orig
+    assert n2 == n_topics
+    p2 = wh.committed_paths(enrich.EVIDENCE_TABLE)
+    # append snapshot references the prior directory + exactly one new one
+    assert p2[: len(p1)] == p1 and len(p2) == len(p1) + 1
+    ev = wh.read(spark, enrich.EVIDENCE_TABLE)
+    assert ev.count() == 25 + n_topics
+    assert ev.select("edge_id").distinct().count() == 25 + n_topics
 
 
 def test_delete_vertex_cascades_edges(spark):
@@ -44,14 +77,16 @@ def test_delete_vertex_cascades_edges(spark):
     run_pipeline(spark, SF_SMALL, root)
     wh = Warehouse(root)
     target = "ent:person/grace-hopper"
-    before_e = wh.read(spark, "edges")
-    incident = before_e.filter(
+    # enrich first so the delete must cascade into evidence too
+    enrich.run_enrichment(spark, root)
+    before = enrich.edges_with_evidence(spark, wh)
+    incident = before.filter(
         (F.col("src") == target) | (F.col("dst") == target)
     ).count()
     assert incident > 0
     n_v, n_e = wh.delete_vertices(spark, [target])
     assert (n_v, n_e) == (1, incident)
-    after = wh.read(spark, "edges")
+    after = enrich.edges_with_evidence(spark, wh)
     assert after.filter(
         (F.col("src") == target) | (F.col("dst") == target)
     ).count() == 0

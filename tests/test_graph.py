@@ -68,6 +68,81 @@ def test_pagination_covers_all_exactly_once(spark):
     assert len(seen) == 57 and len(set(seen)) == 57
 
 
+def test_toposort_grouped_matches_peel_on_conv_local_chains(spark):
+    # conv-local turn chains: auto mode takes the grouped single-pass path;
+    # forcing peel must give identical levels
+    rows = []
+    for conv in ("conv-a", "conv-b"):
+        for i in range(1, 6):
+            rows.append((f"turn:{conv}:{i}", f"turn:{conv}:{i-1}",
+                         "replies_to"))
+    # a branch: two replies to the same parent
+    rows.append(("turn:conv-a:9", "turn:conv-a:2", "replies_to"))
+    e = _edges(spark, rows)
+    grouped = {r["node"]: r["level"]
+               for r in graph.toposort_levels(e, mode="grouped").collect()}
+    peel = {r["node"]: r["level"]
+            for r in graph.toposort_levels(e, mode="peel").collect()}
+    auto = {r["node"]: r["level"]
+            for r in graph.toposort_levels(e).collect()}
+    assert grouped == peel == auto
+    assert grouped["turn:conv-a:0"] == 0 and grouped["turn:conv-a:5"] == 5
+    assert grouped["turn:conv-a:9"] == 3
+
+
+def test_filter_spec_attrs_subset_and_empty(spark):
+    verts = spark.createDataFrame(
+        [("1", "person", "ent:person/ada-lovelace"),
+         ("2", "topic", "ent:topic/topic_3"),
+         ("3", "turn", "turn:c0:0")],
+        "vertex_id string, kind string, canonical string",
+    )
+    got = graph.filter_vertices_spec(
+        verts, attrs_subset={"ns": "person", "name": "ada-lovelace"}
+    ).select("vertex_id").collect()
+    assert [r["vertex_id"] for r in got] == ["1"]
+    # subset semantics: a single matching attr suffices
+    got2 = graph.filter_vertices_spec(verts, attrs_subset={"ns": "topic"})
+    assert [r["vertex_id"] for r in got2.collect()] == ["2"]
+    # non-matching value excludes
+    assert graph.filter_vertices_spec(
+        verts, attrs_subset={"ns": "person", "name": "x"}
+    ).count() == 0
+    # matchOnlyEmptyQualifiers analog: only the turn vertex (empty map)
+    got3 = graph.filter_vertices_spec(verts, match_only_empty_attrs=True)
+    assert [r["vertex_id"] for r in got3.collect()] == ["3"]
+
+
+def test_find_software_indexed_equals_scan(spark):
+    verts = spark.createDataFrame(
+        [(f"{i}", "person", f"ent:person/name-{i:03d}") for i in range(40)]
+        + [("x", "topic", "ent:topic/lovel-ace")],
+        "vertex_id string, kind string, canonical string",
+    )
+    idx = graph.build_substring_index(verts)
+    for q in ("lovel", "name-00", "zzz", "e-1"):
+        scan = {tuple(r) for r in graph.find_software(verts, q).collect()}
+        via_idx = {tuple(r) for r in
+                   graph.find_software_indexed(idx, verts, q).collect()}
+        assert scan == via_idx, q
+
+
+def test_page_connection_total_and_next(spark):
+    verts = spark.createDataFrame(
+        [(f"{i:03d}", "k", f"c{i}") for i in range(25)],
+        "vertex_id string, kind string, canonical string",
+    )
+    page = graph.page_vertices_connection(verts, after="004", first=10)
+    rows = page.collect()
+    assert len(rows) == 10
+    assert all(r["total_count"] == 25 for r in rows)
+    assert all(r["has_next_page"] for r in rows)
+    assert rows[0]["end_cursor"] == max(r["vertex_id"] for r in rows)
+    last = graph.page_vertices_connection(verts, after="020", first=10)
+    lrows = last.collect()
+    assert len(lrows) == 4 and all(not r["has_next_page"] for r in lrows)
+
+
 def test_keep_latest_deterministic_ties(spark):
     import datetime
     t = datetime.datetime(2024, 1, 1)

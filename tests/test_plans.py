@@ -79,6 +79,51 @@ def test_salted_count_is_two_level(spark):
     assert plan.count("HashAggregate") >= 4
 
 
+def test_embed_neardup_lsh_has_no_cartesian(spark):
+    """The shipped near-dup query must never cross-join the corpus
+    (VERDICT r1 wrong #1): candidates come from the bucket equi-join."""
+    from guac_spark.textops import similarity
+
+    emb = similarity.load_embeddings(spark, SF_SMALL)
+    q = similarity.cosine_near_pairs_lsh(
+        similarity.staged_embeddings(emb), 0.99
+    )
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_shingling_is_jvm_side(spark):
+    """Shingles must be produced by the codegen'd projection, not Python:
+    the Arrow exchange receives (id, shingles), never raw text."""
+    from guac_spark.textops import dedup, minhash
+
+    docs = dedup.load_documents(spark, SF_SMALL)
+    bands = minhash.band_rows_df(docs, "doc_id", "text")
+    plan = _plan(bands)
+    assert "regexp_extract_all" in plan  # tokenization inside the scan stage
+    assert "MapInPandas" in plan
+
+
+def test_bucketed_mentions_linked_dedups_without_shuffle(spark):
+    """The triples-stage dedup must reuse the bucketed layout of the
+    mentions_linked snapshot: no hashpartitioning Exchange above the scan
+    (in-session; a later session falls back to a plain read + shuffle)."""
+    import tempfile
+
+    from guac_spark import assemble, pipeline
+    from guac_spark.warehouse import Warehouse
+
+    root = tempfile.mkdtemp(prefix="wh_bucketplan_")
+    pipeline.run_pipeline(spark, SF_SMALL, root)
+    wh = Warehouse(root)
+    linked = wh.read(spark, "mentions_linked")
+    mapping = wh.read(spark, "cc_mapping")
+    plan = _plan(assemble.triples_final(linked, mapping))
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_corpus_generation_has_no_sort_merge_join(spark):
     t = corpus.transcripts(spark, SF_SMALL)
     plan = _plan(t)

@@ -60,11 +60,15 @@ def test_lineage_metrics_complete(spark):
     stages = {r["stage"] for r in m.select("stage").distinct().collect()}
     assert stages == set(res.tables.keys()) - {"alias_dict"}
     # per-partition counters must sum to the committed table row counts
-    for t in ["transcripts", "triples", "vertices", "edges"]:
+    # (mentions_linked included: bucketed snapshots keep full lineage)
+    for t in ["transcripts", "mentions_linked", "triples", "vertices",
+              "edges"]:
         total = (
             m.filter(f"table = '{t}'").groupBy().sum("rows").first()[0]
         )
         assert total == wh.read(spark, t).count(), t
+        # commit-log row summary (Iceberg snapshot-summary analog) agrees
+        assert wh.committed_rows(t) == total, t
 
 
 def test_rerun_without_resume_recommits(spark):

@@ -26,6 +26,48 @@ def test_minhash_equals_relational(spark):
     assert len(near) > 0
 
 
+def test_vectorized_minhash_matches_scalar_signature():
+    import numpy as np
+
+    from guac_spark.textops import minhash as mh
+
+    a, b = mh.hash_family(64)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one",
+        "",
+        "repeat repeat repeat token",
+        "a b c d e f g h i j k l",
+    ]
+    # scalar contract: per-doc signature over the shingle SET
+    want = np.stack([mh.signature(mh.word_bigrams(t), a, b) for t in texts])
+    # batch kernel gets the JVM-shaped multiset lists (duplicates kept)
+    def bigrams_list(t):
+        import re as _re
+
+        w = _re.findall(r"[a-z]+", t)
+        if len(w) < 2:
+            return w
+        return [w[i] + " " + w[i + 1] for i in range(len(w) - 1)]
+
+    got = mh.signatures_batch([bigrams_list(t) for t in texts], a, b)
+    assert (want == got).all()
+
+
+def test_vectorized_simhash_matches_scalar():
+    import re
+
+    from guac_spark.textops.dedup import _simhash64, _simhash_batch
+
+    texts = [
+        "the quick brown fox", "", "zz " * 500, "one two three two one",
+    ]
+    toks = [re.findall(r"[a-z]+", t) for t in texts]
+    got = _simhash_batch(toks)
+    want = [format(_simhash64(t), "016x") for t in texts]
+    assert got == want
+
+
 def test_exact_dedup_finds_staged_copies(spark):
     docs = dedup.load_documents(spark, SF_SMALL)
     staged = dedup.staged_documents(docs)
