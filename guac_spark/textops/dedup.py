@@ -165,6 +165,27 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     )
 
 
+def near_dup_clusters(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """(doc_id, keeper_doc_id) for every document in a near-dup cluster —
+    the keep-policy materialization a training-data dedup actually ships:
+    MinHash-LSH pairs -> connected components -> keep the min id per
+    cluster. Reuses the KG engine's CC operator (cc.py) over the
+    candidate-pair graph; ids are zero-padded strings inside CC so
+    lexicographic min == numeric min, cast back on output. Documents in
+    no cluster are absent (callers treat missing as keep-self)."""
+    from ..cc import connected_components
+
+    pairs = minhash_pairs(docs, threshold).select(
+        F.lpad(F.col("a").cast("string"), 12, "0").alias("src"),
+        F.lpad(F.col("b").cast("string"), 12, "0").alias("dst"),
+    )
+    m = connected_components(pairs)
+    return m.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("keeper_doc_id"),
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def _simhash64(text: str) -> int:

@@ -307,6 +307,34 @@ WHERE bit_count(xor(('0x' || substr(sa, 1, 8))::UBIGINT,
 
 ORACLES["q_ann_lsh"] = _ann_lsh_oracle()
 
+# near-dup clustering: transitive closure over the EXACT jaccard>=0.7 pair
+# graph (the ground truth the banded candidates recover), min id per
+# component — mirrors dedup.near_dup_clusters
+ORACLES["q_doc_dedup_clusters"] = f"""
+WITH RECURSIVE {_SDOCS.strip()},
+{_SHINGLES2.strip()},
+co AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pr AS (
+  SELECT a, b FROM co
+  JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+  WHERE cast(common AS DOUBLE) / (za.n + zb.n - common) >= 0.7
+),
+und AS (
+  SELECT a, b FROM pr UNION SELECT b, a FROM pr
+),
+clos AS (
+  SELECT a AS node, b AS peer FROM und
+  UNION
+  SELECT c.node, u.b FROM clos c JOIN und u ON u.a = c.peer
+)
+SELECT node AS doc_id, least(node, min(peer)) AS keeper_doc_id
+FROM clos GROUP BY node
+"""
+
 
 def _q_doc_dedup_exact(spark, sf):
     return dedup.exact_dedup(
@@ -323,6 +351,12 @@ def _q_doc_minhash_pairs(spark, sf):
 def _q_doc_ngram_pairs(spark, sf):
     docs = dedup.load_documents(spark, sf).filter("doc_id < 100")
     return dedup.jaccard_pairs_relational(docs, 0.8, n=1)
+
+
+def _q_doc_dedup_clusters(spark, sf):
+    return dedup.near_dup_clusters(
+        dedup.staged_documents(dedup.load_documents(spark, sf)), 0.7
+    )
 
 
 def _q_doc_simhash(spark, sf):
@@ -383,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_dedup_exact": _q_doc_dedup_exact,
         "q_doc_minhash_pairs": _q_doc_minhash_pairs,
         "q_doc_ngram_pairs": _q_doc_ngram_pairs,
+        "q_doc_dedup_clusters": _q_doc_dedup_clusters,
         "q_doc_simhash": _q_doc_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_embed_neardup": _q_embed_neardup,

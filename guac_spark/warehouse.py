@@ -256,6 +256,62 @@ class Warehouse:
     def has(self, table: str) -> bool:
         return self.committed_snapshot(table) is not None
 
+    # --- merge-on-read upsert (the Iceberg `MERGE INTO ... WHEN MATCHED
+    #     THEN UPDATE` analog with equality deletes: new versions append,
+    #     reads resolve latest-wins, compaction folds back) ---------------
+
+    def merge_upsert(
+        self, df: DataFrame, table: str, stage: str | None = None
+    ) -> int:
+        """Upsert rows by key WITHOUT touching the base table: append to
+        a companion `<table>__upserts` table stamped with a commit
+        sequence. Cost is O(upserted rows) — the merge-on-read half of
+        Iceberg's MERGE INTO. Rows within one call must be unique per
+        key (the caller's MERGE source contract). Resolve with
+        read_merged; fold back with compact_merged."""
+        ut = f"{table}__upserts"
+        seq = (self.committed_snapshot(ut) or 0) + 1
+        return self.append_snapshot(
+            df.withColumn("_seq", F.lit(seq)), ut,
+            stage or f"upsert_{table}",
+        )
+
+    def read_merged(
+        self, spark: SparkSession, table: str, key_cols: list[str]
+    ) -> DataFrame:
+        """Base table with upserts applied, latest commit wins per key —
+        the read-side merge. No upserts committed => plain read."""
+        from pyspark.sql import Window
+
+        base = self.read(spark, table)
+        ut = f"{table}__upserts"
+        if not self.has(ut):
+            return base
+        allr = base.withColumn("_seq", F.lit(0)).unionByName(
+            self.read(spark, ut)
+        )
+        w = Window.partitionBy(*key_cols).orderBy(F.desc("_seq"))
+        return (
+            allr.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
+
+    def compact_merged(
+        self, spark: SparkSession, table: str, key_cols: list[str]
+    ) -> int:
+        """Fold upserts into a fresh base snapshot and retire the
+        companion table (files stay on disk for time travel) — the
+        Iceberg rewrite-data-files compaction analog."""
+        merged = self.read_merged(spark, table, key_cols)
+        snap = self.write_snapshot(merged, table, stage="compact")
+        ut = f"{table}__upserts"
+        with self._log_lock:
+            log = self._read_log()
+            log["tables"].pop(ut, None)
+            self._write_log(log)
+        return snap
+
     # --- delete (the Iceberg `MERGE ... WHEN MATCHED THEN DELETE` analog;
     #     GUAC: delete.graphql / keyvalue path.go:195-197) ----------------
     def delete_vertices(

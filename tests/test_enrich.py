@@ -72,6 +72,42 @@ def test_evidence_appends_are_o_of_new(spark):
     assert ev.select("edge_id").distinct().count() == 25 + n_topics
 
 
+def test_merge_upsert_latest_wins_and_compacts(spark):
+    """Merge-on-read upsert: base untouched, reads resolve latest-wins,
+    compaction folds back — the Iceberg MERGE INTO verb pair."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wh_merge_")
+    wh = Warehouse(root)
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+    )
+    wh.write_snapshot(base, "t")
+    base_snap = wh.committed_snapshot("t")
+
+    wh.merge_upsert(
+        spark.createDataFrame([("b", 20), ("d", 40)], "k string, v int"), "t"
+    )
+    # base snapshot untouched — the write was O(upserted rows)
+    assert wh.committed_snapshot("t") == base_snap
+    got = {r["k"]: r["v"] for r in wh.read_merged(spark, "t", ["k"]).collect()}
+    assert got == {"a": 1, "b": 20, "c": 3, "d": 40}
+
+    # second round overrides the first (latest commit wins)
+    wh.merge_upsert(
+        spark.createDataFrame([("b", 200)], "k string, v int"), "t"
+    )
+    got = {r["k"]: r["v"] for r in wh.read_merged(spark, "t", ["k"]).collect()}
+    assert got["b"] == 200 and len(got) == 4
+
+    # compaction folds upserts into a fresh base and retires the companion
+    wh.compact_merged(spark, "t", ["k"])
+    assert not wh.has("t__upserts")
+    plain = {r["k"]: r["v"] for r in wh.read(spark, "t").collect()}
+    assert plain == got
+    assert "_seq" not in wh.read(spark, "t").columns
+
+
 def test_delete_vertex_cascades_edges(spark):
     root = tempfile.mkdtemp(prefix="wh_del_")
     run_pipeline(spark, SF_SMALL, root)
