@@ -66,6 +66,19 @@ def replicate_events(spark, sf_dir: str, repl: int, out_dir: str) -> str:
 
 
 def main() -> None:
+    # replicate-and-exit mode: write the replicated corpus to a shared
+    # directory (scaling legs then read it via SPARK_GRAFT_SF_DIR) —
+    # replication is input prep, not part of any measured leg
+    repl_only_dir = os.environ.get("SPARK_GRAFT_REPLICATE_ONLY")
+    if repl_only_dir:
+        spark = get_spark(app_name="guac_bench_replicate", cpus=CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        os.makedirs(repl_only_dir, exist_ok=True)
+        replicate_events(spark, SF_DIR, REPL, repl_only_dir)
+        print(json.dumps({"replicated": repl_only_dir, "repl": REPL}))
+        spark.stop()
+        return
+
     tmp = tempfile.mkdtemp(prefix="guac_bench_", dir=TMPDIR)
     spark = get_spark(
         app_name=f"guac_bench_c{CPUS}",

@@ -195,6 +195,18 @@ def neighbors(edges: DataFrame, vertices: DataFrame, canonical: str,
     )
 
 
+def neighbors_page(edges: DataFrame, vertices: DataFrame, canonical: str,
+                   after: str | None, first: int,
+                   using_only: list[str] | None = None) -> DataFrame:
+    """neighborsList — paginated neighbors (path.graphql; the reference's
+    keyvalue backend leaves this unimplemented, path.go:48-50; we compose
+    the neighbor join with keyset pagination). Cursor = vertex_id."""
+    nbrs = neighbors(edges, vertices, canonical, using_only)
+    if after is not None:
+        nbrs = nbrs.filter(F.col("vertex_id") > after)
+    return nbrs.orderBy("vertex_id").limit(first)
+
+
 # --- BFS / shortest paths (keyvalue/path.go:83-152) -------------------------
 
 def bfs_distances(edges: DataFrame, seed: str, max_hops: int = 4,

@@ -21,13 +21,41 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_leg(cpus: int, repl: int) -> dict:
+def prepare_replica(repl: int) -> str:
+    """Write the replicated corpus ONCE (at full parallelism) and share
+    it across every leg — replication isn't part of the measured
+    pipeline, so writing it per-leg only burns wall clock. Byte-identical
+    input for all legs by construction."""
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_TMPDIR",
+                          "/dev/shm" if os.path.isdir("/dev/shm")
+                          else tempfile.gettempdir())
+    out_dir = os.path.join(base, f"guac_scaling_repl{repl}")
+    marker = os.path.join(out_dir, "_READY")
+    if os.path.exists(marker):
+        return out_dir
+    env = dict(os.environ, SPARK_GRAFT_REPL=str(repl),
+               SPARK_GRAFT_REPLICATE_ONLY=out_dir)
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    open(marker, "w").close()
+    return out_dir
+
+
+def run_leg(cpus: int, repl: int, sf_dir: str | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
-        SPARK_GRAFT_REPL=str(repl),
         SPARK_GRAFT_PIPELINE_ONLY="1",
     )
+    if sf_dir is not None:
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        env["SPARK_GRAFT_REPL"] = "1"
+    else:
+        env["SPARK_GRAFT_REPL"] = str(repl)
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
@@ -44,15 +72,16 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
+    sf_shared = prepare_replica(args.repl) if args.repl > 1 else None
     lows, highs = [], []
     for i in range(args.runs):
         # interleave legs so host drift hits both equally
         print(f"run {i + 1}/{args.runs} low[{args.low}]...",
               file=sys.stderr, flush=True)
-        lows.append(run_leg(args.low, args.repl))
+        lows.append(run_leg(args.low, args.repl, sf_shared))
         print(f"run {i + 1}/{args.runs} high[{args.high}]...",
               file=sys.stderr, flush=True)
-        highs.append(run_leg(args.high, args.repl))
+        highs.append(run_leg(args.high, args.repl, sf_shared))
 
     med_low = statistics.median(d["turns_per_sec"] for d in lows)
     med_high = statistics.median(d["turns_per_sec"] for d in highs)

@@ -127,6 +127,23 @@ def test_find_software_indexed_equals_scan(spark):
         assert scan == via_idx, q
 
 
+def test_neighbors_page_covers_all_exactly_once(spark):
+    e = _edges(spark, [("a", f"n{i}", "mentions") for i in range(23)])
+    verts = spark.createDataFrame(
+        [(f"{i:03d}", "person", f"n{i}") for i in range(23)]
+        + [("900", "person", "a")],
+        "vertex_id string, kind string, canonical string",
+    )
+    seen, after = [], None
+    while True:
+        page = graph.neighbors_page(e, verts, "a", after, first=7).collect()
+        if not page:
+            break
+        seen += [r["vertex_id"] for r in page]
+        after = page[-1]["vertex_id"]
+    assert seen == sorted(seen) and len(seen) == 23 == len(set(seen))
+
+
 def test_page_connection_total_and_next(spark):
     verts = spark.createDataFrame(
         [(f"{i:03d}", "k", f"c{i}") for i in range(25)],
