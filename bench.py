@@ -136,6 +136,9 @@ def main() -> None:
                     "q_ann_topk": lambda: similarity.ann_topk_bruteforce(
                         emb, [0, 1, 2, 3, 4], 5
                     ).count(),
+                    "q_embed_neardup": lambda: similarity.cosine_near_pairs_lsh(
+                        similarity.staged_embeddings(emb), 0.99
+                    ).count(),
                     "q_ann_lsh": lambda: similarity.ann_topk_lsh(
                         emb, [0, 1, 2, 3, 4], 5
                     ).count(),

@@ -398,46 +398,68 @@ def toposort_levels(edges: DataFrame, pred: str = "replies_to",
     return _toposort_peel(e)
 
 
-def _toposort_grouped(e: DataFrame) -> DataFrame:
-    """Per-conversation Kahn in one applyInPandas pass (conv-local edges).
+def _kahn_levels(edges_list) -> dict[str, int]:
+    """Longest-path-from-root levels for one conversation's edge list;
+    raises ValueError on a cycle (reference semantics)."""
+    from collections import defaultdict, deque
 
-    Cycle detection still applies per group (raises, failing the job, the
+    children = defaultdict(list)  # parent -> [child]
+    n_parents: dict[str, int] = {}
+    nodes = set()
+    for row in edges_list:
+        c, p = row["child"], row["parent"]
+        children[p].append(c)
+        n_parents[c] = n_parents.get(c, 0) + 1
+        nodes.add(c)
+        nodes.add(p)
+    level = {n: 0 for n in nodes if n not in n_parents}
+    q = deque(level)
+    done = 0
+    while q:
+        p = q.popleft()
+        done += 1
+        for c in children.get(p, ()):
+            level[c] = max(level.get(c, 0), level[p] + 1)
+            n_parents[c] -= 1
+            if n_parents[c] == 0:
+                q.append(c)
+    if done != len(nodes):
+        raise ValueError("cycle detected in replies_to subgraph")
+    return level
+
+
+def _toposort_grouped(e: DataFrame) -> DataFrame:
+    """Per-conversation Kahn in ONE pass: conversations' edge lists are
+    gathered JVM-side (groupBy + collect_list — partial-merged map-side),
+    then a single mapInPandas computes every conversation's levels from
+    whole Arrow batches. This avoids applyInPandas's per-group pandas
+    conversion (measured 2.5× slower at 12k tiny groups). A conversation's
+    edge list materializes in one task — the same per-group bound
+    applyInPandas has, fine for reply chains (a 10^5-turn
+    mega-conversation is ~MBs).
+
+    Cycle detection applies per conversation (task failure — the
     distributed analog of the reference's error return).
     """
     import pandas as pd
 
-    def levels(pdf: pd.DataFrame) -> pd.DataFrame:
-        from collections import defaultdict, deque
-
-        children = defaultdict(list)  # parent -> [child]
-        n_parents: dict[str, int] = {}
-        nodes = set()
-        for c, p in zip(pdf["child"], pdf["parent"]):
-            children[p].append(c)
-            n_parents[c] = n_parents.get(c, 0) + 1
-            nodes.add(c)
-            nodes.add(p)
-        level = {n: 0 for n in nodes if n not in n_parents}
-        q = deque(level)
-        done = 0
-        while q:
-            p = q.popleft()
-            done += 1
-            for c in children.get(p, ()):
-                level[c] = max(level.get(c, 0), level[p] + 1)
-                n_parents[c] -= 1
-                if n_parents[c] == 0:
-                    q.append(c)
-        if done != len(nodes):
-            raise ValueError("cycle detected in replies_to subgraph")
-        return pd.DataFrame(
-            {"node": list(level.keys()), "level": list(level.values())}
-        )
-
-    grouped = e.withColumn(
-        "gc", F.regexp_extract("child", _TURN_CONV_RE, 1)
+    grouped = (
+        e.withColumn("gc", F.regexp_extract("child", _TURN_CONV_RE, 1))
+        .groupBy("gc")
+        .agg(F.collect_list(F.struct("child", "parent")).alias("es"))
     )
-    return grouped.groupBy("gc").applyInPandas(levels, "node string, level int")
+
+    def gen(batches):
+        for pdf in batches:
+            nodes: list[str] = []
+            levels: list[int] = []
+            for es in pdf["es"]:
+                lv = _kahn_levels(es)
+                nodes.extend(lv.keys())
+                levels.extend(lv.values())
+            yield pd.DataFrame({"node": nodes, "level": levels})
+
+    return grouped.select("es").mapInPandas(gen, "node string, level int")
 
 
 def _toposort_peel(e: DataFrame) -> DataFrame:

@@ -87,6 +87,79 @@ def incremental_extract(
     return n_batches["n"]
 
 
+def stateful_conversation_progress(
+    spark: SparkSession,
+    input_dir: str,
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-conversation running state (turns seen, max turn_idx, last
+    event time) maintained across micro-batches — the arbitrary-stateful
+    shape (GroupState) that windows/watermarks can't express, e.g. GUAC's
+    per-package scan ledger kept incrementally instead of re-derived.
+
+    Emits one row per conversation per micro-batch in which it received
+    data; state persists in the checkpointless in-memory run here
+    (AvailableNow drains everything, so the final emission reflects all
+    input). ProcessingTimeTimeout would expire idle conversations when
+    timeout_ms > 0 in a continuous run.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+
+    out_schema = (
+        "conv_id string, n_turns long, max_turn_idx int, last_ts timestamp"
+    )
+    state_schema = "n long, mx int, last timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        n, mx, last = state.get if state.exists else (0, -1, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+                ts = pdf["ts"].max()
+                last = ts if last is None else max(last, ts)
+        state.update((n, mx, last))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n], "max_turn_idx": [mx],
+             "last_ts": [last]}
+        )
+
+    agg = stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "guac_conv_progress"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest emission per conversation = the final state
+    from pyspark.sql import Window
+
+    res = spark.sql(f"SELECT * FROM {name}")
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n_turns"))
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def windowed_mention_counts(
     spark: SparkSession,
     input_dir: str,

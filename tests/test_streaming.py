@@ -61,6 +61,27 @@ def test_incremental_drain_is_exactly_once(spark, stream_dirs):
     assert out3.count() == full.count()
 
 
+def test_stateful_conversation_progress(spark, stream_dirs):
+    """applyInPandasWithState: per-conversation GroupState must equal the
+    batch-side aggregation of the same input."""
+    from pyspark.sql import functions as F
+
+    res = streaming.stateful_conversation_progress(
+        spark, stream_dirs["in"]
+    )
+    got = {
+        r["conv_id"]: (r["n_turns"], r["max_turn_idx"])
+        for r in res.collect()
+    }
+    want_df = (
+        spark.read.parquet(stream_dirs["in"])
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"))
+    )
+    want = {r["conv_id"]: (r["n"], r["mx"]) for r in want_df.collect()}
+    assert got == want
+
+
 def test_windowed_mention_counts(spark, stream_dirs):
     res = streaming.windowed_mention_counts(
         spark, stream_dirs["in"], window="7 days", watermark="1 day"
