@@ -99,10 +99,19 @@ def run_enrichment(spark: SparkSession, warehouse_root: str) -> int:
         F.lit("enricher").alias("origin"),
         F.lit("enricher:0").alias("document_ref"),
     )
-    # O(new evidence) appends — the base edges table is never rewritten
-    wh.append_snapshot(new_edges, EVIDENCE_TABLE, stage="enrich_edges")
+    # O(new evidence) appends — the base edges table is never rewritten.
+    # Both tables become visible in ONE commit-log replace (ADVICE r2):
+    # a crash mid-round leaves evidence AND ledger at their prior
+    # snapshots, so the re-run redoes the whole batch instead of
+    # re-appending evidence for entities the ledger already excludes —
+    # that split-commit window was the one way duplicate evidence edges
+    # could appear despite deterministic edge_ids.
     ledger_new = enriched.select(
         "canonical", "score", F.current_timestamp().alias("enriched_at")
     )
-    wh.append_snapshot(ledger_new, LEDGER_TABLE, stage="enrich_ledger")
+    p1 = wh.append_snapshot(new_edges, EVIDENCE_TABLE, stage="enrich_edges",
+                            defer_commit=True)
+    p2 = wh.append_snapshot(ledger_new, LEDGER_TABLE, stage="enrich_ledger",
+                            defer_commit=True)
+    wh.commit_pending([p1, p2])
     return n

@@ -148,7 +148,11 @@ def page_vertices_connection(
     (package.graphql:219-239: totalCount, hasNextPage, endCursor), all as
     columns so the result is one flat relation. totalCount is the
     cursor-independent full count (reference semantics); hasNextPage
-    comes from fetching first+1 keys and keeping first."""
+    comes from fetching first+1 keys and keeping first. An EMPTY page
+    (cursor past the end, empty table) still returns one sentinel row —
+    null vertex columns, has_next_page=false, the real total_count — so
+    the connection metadata the reference always reports survives
+    (ADVICE r2: the old crossJoin dropped it with the rows)."""
     total = vertices.agg(F.count("*").cast("long").alias("total_count"))
     filtered = vertices
     if after is not None:
@@ -166,7 +170,14 @@ def page_vertices_connection(
             Window.partitionBy(F.lit(1))))
         .drop("_rn", "_n")
     )
-    return page.crossJoin(F.broadcast(total))
+    row_cols = [c for c in page.columns
+                if c not in ("has_next_page", "end_cursor")]
+    return total.join(page, F.lit(True), "left").select(
+        *row_cols,
+        F.coalesce("has_next_page", F.lit(False)).alias("has_next_page"),
+        "end_cursor",
+        "total_count",
+    )
 
 
 # --- neighbor expansion (path.graphql:202-211) ------------------------------

@@ -46,6 +46,11 @@ class Warehouse:
         import threading
 
         self._log_lock = threading.Lock()
+        # snapshot ids are RESERVED under the lock (ADVICE r2): two
+        # concurrent writers on the SAME table get distinct snap dirs
+        # instead of computing the same id and rmtree-ing each other's
+        # in-flight directory. Per-process, like the lock itself.
+        self._reserved: dict[str, int] = {}
 
     # --- commit log -------------------------------------------------------
     def _read_log(self) -> dict[str, Any]:
@@ -123,15 +128,18 @@ class Warehouse:
                            bucket_by=bucket_by)
 
     def append_snapshot(
-        self, df: DataFrame, table: str, stage: str | None = None
-    ) -> int:
+        self, df: DataFrame, table: str, stage: str | None = None,
+        defer_commit: bool = False,
+    ) -> int | dict[str, Any]:
         """Append-only commit: write ONLY the new rows as a fresh data
         directory; the new snapshot references all prior directories plus
         this one (the Iceberg append-snapshot analog). Cost is O(new rows)
         regardless of table size — the shape a 100 TB enrichment loop
         needs. Readers of older snapshots are unaffected (their directory
-        lists are immutable)."""
-        return self._write(df, table, stage, None, append=True)
+        lists are immutable). defer_commit=True returns a pending dict
+        for commit_pending() instead of flipping the log."""
+        return self._write(df, table, stage, None, append=True,
+                           defer_commit=defer_commit)
 
     def _write(
         self,
@@ -141,10 +149,18 @@ class Warehouse:
         partition_by: list[str] | None,
         append: bool,
         bucket_by: tuple[int, list[str]] | None = None,
-    ) -> int:
+        defer_commit: bool = False,
+    ) -> int | dict[str, Any]:
+        """Write the data directory and (unless defer_commit) flip the
+        commit log. defer_commit=True returns a pending-commit dict for
+        commit_pending(), letting several tables become visible in ONE
+        atomic log replace (the multi-table-transaction analog a
+        two-table loop like enrichment needs for crash safety)."""
         t0 = time.time()
-        prev = self.committed_snapshot(table)
-        snap = (prev or 0) + 1
+        with self._log_lock:
+            prev = self.committed_snapshot(table)
+            snap = max(prev or 0, self._reserved.get(table, 0)) + 1
+            self._reserved[table] = snap
         path = self.table_path(table, snap)
         if os.path.exists(path):
             shutil.rmtree(path)  # leftover from a killed run — never committed
@@ -176,30 +192,56 @@ class Warehouse:
         ] or [(stage or table, table, snap, -1, 0, wall, now)]
         self._append_metrics(df.sparkSession, metrics_rows)
         new_rows = int(sum(r for _, r in lineage))
+        pending = {
+            "table": table,
+            "snap": snap,
+            "path": path,
+            "new_rows": new_rows,
+            "append": append,
+            "stage": stage or table,
+            "catalog_table": catalog_table,
+            "committed_at": now,
+        }
+        if defer_commit:
+            return pending
+        self.commit_pending([pending])
+        return snap
+
+    def commit_pending(self, pendings: list[dict[str, Any]]) -> None:
+        """Make one or more prepared writes visible in a single atomic
+        commit-log replace — a crash before this point leaves every
+        involved table at its prior snapshot (orphan snap dirs are
+        reclaimed by the next writer's rmtree)."""
         with self._log_lock:
             log = self._read_log()
-            paths = [path]
-            rows = new_rows
-            if append and prev is not None:
-                entry = log["tables"].get(table, {})
-                paths = (entry.get("paths") or [entry["path"]]) + [path]
-                if entry.get("rows") is not None:
-                    rows += entry["rows"]
-            entry = {
-                "snapshot_id": snap,
-                "paths": paths,
-                "committed_at": now,
-                "stage": stage or table,
-                # committed row count, already known from the footers —
-                # readers need no count() job (Iceberg snapshot-summary
-                # total-records analog)
-                "rows": rows,
-            }
-            if catalog_table:
-                entry["catalog_table"] = catalog_table
-            log["tables"][table] = entry
+            for p in pendings:
+                table = p["table"]
+                paths = [p["path"]]
+                rows: int | None = p["new_rows"]
+                if p["append"] and log["tables"].get(table) is not None:
+                    entry = log["tables"][table]
+                    paths = (entry.get("paths") or [entry["path"]]) + paths
+                    # legacy entries without a row count make the total
+                    # unknowable — propagate None rather than storing the
+                    # new rows alone as a silently-wrong total (ADVICE r2)
+                    rows = (
+                        rows + entry["rows"]
+                        if entry.get("rows") is not None else None
+                    )
+                entry = {
+                    "snapshot_id": p["snap"],
+                    "paths": paths,
+                    "committed_at": p["committed_at"],
+                    "stage": p["stage"],
+                    # committed row count, already known from the footers —
+                    # readers need no count() job (Iceberg snapshot-summary
+                    # total-records analog)
+                    "rows": rows,
+                }
+                if p["catalog_table"]:
+                    entry["catalog_table"] = p["catalog_table"]
+                log["tables"][table] = entry
             self._write_log(log)
-        return snap
 
     def committed_rows(self, table: str) -> int | None:
         """Row count of the committed snapshot from the commit log (the
@@ -319,25 +361,34 @@ class Warehouse:
     ) -> tuple[int, int]:
         """Remove vertices and every incident edge; returns (n_vertices,
         n_edges) removed. Copy-on-write new snapshots — time travel to the
-        pre-delete snapshot stays possible via the snap-N directories."""
-        verts = self.read(spark, "vertices")
-        edges = self.read(spark, "edges")
+        pre-delete snapshot stays possible via the snap-N directories.
+
+        Removal counts come from the commit log's footer-derived row
+        summaries (before minus after), not count() jobs — r2 ran four
+        extra full-table scans purely for the report (VERDICT r2 wrong
+        #4). A legacy entry without a row count falls back to one count()
+        on that table's prior snapshot."""
+        def _before(table: str) -> int:
+            n = self.committed_rows(table)
+            return n if n is not None else self.read(spark, table).count()
+
         kill = F.col("canonical").isin(canonicals)
-        v_keep = verts.filter(~kill)
-        e_keep = edges.filter(
+        not_incident = (
             ~F.col("src").isin(canonicals) & ~F.col("dst").isin(canonicals)
         )
-        n_v = verts.count() - v_keep.count()
-        n_e = edges.count() - e_keep.count()
+        v_before = _before("vertices")
+        e_before = _before("edges")
+        v_keep = self.read(spark, "vertices").filter(~kill)
+        e_keep = self.read(spark, "edges").filter(not_incident)
         self.write_snapshot(v_keep, "vertices", stage="delete")
         self.write_snapshot(e_keep, "edges", stage="delete")
+        n_v = v_before - self.committed_rows("vertices")
+        n_e = e_before - self.committed_rows("edges")
         # cascade into appended enrichment evidence too (compacts the
         # evidence directory list back to one dir as a side effect)
         if self.has("edges_evidence"):
-            ev = self.read(spark, "edges_evidence")
-            ev_keep = ev.filter(
-                ~F.col("src").isin(canonicals) & ~F.col("dst").isin(canonicals)
-            )
-            n_e += ev.count() - ev_keep.count()
+            ev_before = _before("edges_evidence")
+            ev_keep = self.read(spark, "edges_evidence").filter(not_incident)
             self.write_snapshot(ev_keep, "edges_evidence", stage="delete")
+            n_e += ev_before - self.committed_rows("edges_evidence")
         return n_v, n_e

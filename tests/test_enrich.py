@@ -40,6 +40,72 @@ def test_enrichment_converges_and_is_idempotent(spark):
     assert full.filter("origin = 'enricher'").count() == n1
 
 
+def test_deferred_commit_is_atomic_across_tables(spark):
+    """Prepared writes are invisible until commit_pending flips the log
+    once for ALL tables — the crash window between the enrichment
+    evidence and ledger commits (ADVICE r2) no longer exists."""
+    root = tempfile.mkdtemp(prefix="wh_atomic_")
+    wh = Warehouse(root)
+    df1 = spark.range(5).select(F.col("id").alias("a"))
+    df2 = spark.range(7).select(F.col("id").alias("b"))
+    p1 = wh.append_snapshot(df1, "t1", defer_commit=True)
+    p2 = wh.append_snapshot(df2, "t2", defer_commit=True)
+    # data written, nothing committed: a crash here leaves both absent
+    assert not wh.has("t1") and not wh.has("t2")
+    wh.commit_pending([p1, p2])
+    assert wh.read(spark, "t1").count() == 5
+    assert wh.read(spark, "t2").count() == 7
+    assert wh.committed_rows("t1") == 5 and wh.committed_rows("t2") == 7
+
+
+def test_concurrent_same_table_writers_get_distinct_snapshots(spark):
+    """Snapshot ids are reserved under the lock (ADVICE r2): two threads
+    writing the SAME table never collide on a snap directory."""
+    import threading
+
+    root = tempfile.mkdtemp(prefix="wh_reserve_")
+    wh = Warehouse(root)
+    errs = []
+
+    def write(n):
+        try:
+            wh.append_snapshot(
+                spark.range(n).select(F.col("id").alias("v")), "t"
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=write, args=(n,)) for n in (3, 4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert wh.committed_rows("t") == 7  # both appends landed, no clobber
+    assert wh.read(spark, "t").count() == 7
+
+
+def test_append_onto_unknown_rows_propagates_none():
+    """A legacy entry without a row count makes the append total unknown
+    — committed_rows must return None, not the new rows alone."""
+    import json
+    import os
+    import tempfile as tf
+
+    root = tf.mkdtemp(prefix="wh_legacyrows_")
+    wh = Warehouse(root)
+    os.makedirs(os.path.join(root, "t", "snap-1"), exist_ok=True)
+    with open(wh._log_path, "w") as f:
+        json.dump({"tables": {"t": {
+            "snapshot_id": 1, "paths": [wh.table_path("t", 1)],
+            "committed_at": 0.0, "stage": "t",
+        }}}, f)
+    wh.commit_pending([{
+        "table": "t", "snap": 2, "path": wh.table_path("t", 2),
+        "new_rows": 10, "append": True, "stage": "t",
+        "catalog_table": None, "committed_at": 1.0,
+    }])
+    assert wh.committed_rows("t") is None
+
+
 def test_evidence_appends_are_o_of_new(spark):
     """Each enrichment round writes only its new rows; the evidence table
     snapshot accumulates directories instead of rewriting."""

@@ -158,6 +158,15 @@ def test_page_connection_total_and_next(spark):
     last = graph.page_vertices_connection(verts, after="020", first=10)
     lrows = last.collect()
     assert len(lrows) == 4 and all(not r["has_next_page"] for r in lrows)
+    # empty page (cursor past the end): metadata survives as a sentinel
+    # row with null vertex columns (ADVICE r2)
+    empty = graph.page_vertices_connection(verts, after="999", first=10)
+    erows = empty.collect()
+    assert len(erows) == 1
+    assert erows[0]["vertex_id"] is None
+    assert erows[0]["total_count"] == 25
+    assert erows[0]["has_next_page"] is False
+    assert erows[0]["end_cursor"] is None
 
 
 def test_keep_latest_deterministic_ties(spark):
