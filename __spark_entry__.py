@@ -170,7 +170,9 @@ def _q_find_software_idx(spark, sf):
 
 
 def _q_page(spark, sf):
-    return graph.page_vertices(_ctx(spark, sf)["vertices"], after="8", first=20)
+    return graph.page_vertices(
+        _ctx(spark, sf)["vertices"], after="8", first=20
+    ).select("vertex_id", "kind", "canonical")
 
 
 def _q_page_total(spark, sf):
@@ -199,6 +201,18 @@ def _q_filter_spec(spark, sf):
         _ctx(spark, sf)["vertices"], attrs_subset={"ns": "person"},
         contains="-l",
     ).select("vertex_id", "kind", "canonical")
+
+
+def _q_edge_page(spark, sf):
+    """Edge-side spec filter + keyset-paginated connection (the *List
+    verb surface, backends.go:37-62)."""
+    fe = graph.filter_edges_spec(_ctx(spark, sf)["edges"], pred="mentions")
+    page = graph.page_edges_connection(fe, after="8", first=25)
+    return page.select(
+        "edge_id", "src", "dst", "pred", "origin", "document_ref",
+        F.col("has_next_page").cast("int").alias("has_next_page"),
+        "end_cursor", "total_count",
+    )
 
 
 def _q_vuln_reach(spark, sf):
@@ -312,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_total": _q_page_total,
         "q_path": _q_path,
         "q_filter_spec": _q_filter_spec,
+        "q_edge_page": _q_edge_page,
         "q_vuln_reach": _q_vuln_reach,
         "q_delete_cascade": _q_delete_cascade,
         "q_blob_dedup": _q_blob_dedup,

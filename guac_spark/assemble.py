@@ -90,11 +90,21 @@ def triples_final(
 
 
 def vertices(triples: DataFrame) -> DataFrame:
-    """Deduplicated vertex table: (vertex_id, kind, canonical).
+    """Deduplicated vertex table: (vertex_id, kind, canonical, attrs).
 
     Noun gathering analog (assembler.go:196-308): union of every subject and
     object, dedup on canonical key, deterministic sha2 id.
+
+    attrs (map<string,string>) is STORED at assembly, not derived at query
+    time (VERDICT r2 missing #1): {'ns', 'name'} for entity vertices plus
+    any '?k=v' identity qualifiers parsed back out (the version level of
+    the trie — canonical.parse_qualifiers, the inverse of the sorted
+    canonical_qualifiers that built them in link.link_exact); turn
+    vertices carry the empty map. filter_vertices_spec matches against
+    this stored column.
     """
+    from .canonical import parse_qualifiers
+
     nodes = (
         triples.select(F.col("subj").alias("canonical"))
         .unionByName(triples.select(F.col("obj").alias("canonical")))
@@ -104,10 +114,21 @@ def vertices(triples: DataFrame) -> DataFrame:
         F.when(F.col("canonical").startswith("turn:"), F.lit("turn"))
         .otherwise(F.regexp_extract("canonical", r"^ent:([a-z]+)/", 1))
     )
+    name = F.regexp_extract("canonical", r"^ent:[a-z]+/([^?]+)", 1)
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    attrs = F.when(F.col("canonical").startswith("turn:"), empty).otherwise(
+        F.map_concat(
+            F.create_map(F.lit("ns"), kind, F.lit("name"), name),
+            parse_qualifiers("canonical"),
+        )
+    )
     return nodes.select(
         F.sha2(F.col("canonical"), 256).alias("vertex_id"),
         kind.alias("kind"),
         "canonical",
+        attrs.alias("attrs"),
     )
 
 

@@ -31,7 +31,9 @@ def parse_entity_id(col: Column | str) -> Column:
     ent = F.struct(
         F.lit("ent").alias("scheme"),
         F.regexp_extract(c, r"^ent:([a-z]+)/", 1).alias("kind"),
-        F.regexp_extract(c, r"^ent:[a-z]+/(.+)$", 1).alias("name"),
+        # name stops at '?': qualifiers are a separate identity level
+        # (parse_qualifiers), like pURL qualifiers after the version
+        F.regexp_extract(c, r"^ent:[a-z]+/([^?]+)", 1).alias("name"),
     )
     turn = F.struct(
         F.lit("turn").alias("scheme"),
@@ -45,13 +47,44 @@ def parse_entity_id(col: Column | str) -> Column:
     )
 
 
-def build_entity_id(kind: Column | str, name: Column | str) -> Column:
+def build_entity_id(
+    kind: Column | str, name: Column | str,
+    qualifiers: Column | None = None,
+) -> Column:
     """Components -> canonical string (PkgToPurl analog); empty names get
-    the sentinel so hierarchy levels stay addressable."""
+    the sentinel so hierarchy levels stay addressable. A non-empty
+    qualifiers map appends '?k1=v1&k2=v2' with keys SORTED
+    (canonical_qualifiers) — qualifiers are part of identity at the
+    version level exactly like GUAC's package trie
+    (package.graphql:20-101, keyvalue/pkg.go:58-76); unsorted qualifiers
+    would make identical entities distinct nodes."""
     k = F.col(kind) if isinstance(kind, str) else kind
     n = F.col(name) if isinstance(name, str) else name
     safe = F.when((n.isNull()) | (n == ""), F.lit(EMPTY_SENTINEL)).otherwise(n)
-    return F.concat(F.lit("ent:"), k, F.lit("/"), safe)
+    base = F.concat(F.lit("ent:"), k, F.lit("/"), safe)
+    if qualifiers is None:
+        return base
+    return F.concat(
+        base,
+        F.when(
+            F.size(qualifiers) > 0,
+            F.concat(F.lit("?"), canonical_qualifiers(qualifiers)),
+        ).otherwise(F.lit("")),
+    )
+
+
+def parse_qualifiers(col: Column | str) -> Column:
+    """canonical string -> map<string,string> of its '?k=v&...' qualifier
+    suffix (empty map when absent) — the inverse of build_entity_id's
+    qualifier arm, so qualifier-bearing entities round-trip."""
+    c = F.col(col) if isinstance(col, str) else col
+    qstr = F.regexp_extract(c, r"\?(.+)$", 1)
+    return F.when(
+        qstr == "",
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ),
+    ).otherwise(F.str_to_map(qstr, F.lit("&"), F.lit("=")))
 
 
 def fallback_entity_id(surface: Column | str) -> Column:

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 # RE2 (DuckDB), and Python re: char classes + single groups.
 PERSON_RE = r"@([a-z][a-z-]*)"
 TOPIC_RE = r"#(topic_[0-9]+)"
-TOOL_RE = r"tool:([a-z_]+)"
+# optional '@vN' version suffix: the qualifier level of the tool identity
+# trie (linked to 'ent:tool/<name>?v=N' — see link.link_exact); plain
+# surfaces are unaffected
+TOOL_RE = r"tool:([a-z_]+(?:@v[0-9]+)?)"
 REPLY_RE = r">>([0-9]+)"
 AKA_RE = r"@([a-z][a-z-]*) aka @([a-z][a-z-]*)"
 

@@ -96,24 +96,51 @@ def link_exact(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     id on miss (the analog of GUAC's guac-purl fallback fabrication,
     /root/reference/pkg/assembler/helpers/purl.go:272-295). 'reply' mentions
     are already canonical turn refs and pass through.
+
+    Version-qualified tool surfaces ('name@vN') exercise the identity
+    trie (GUAC package.graphql:20-101: type -> name -> version +
+    qualifiers): the DICT lookup uses the base name, and a hit links to
+    'ent:tool/<name>?v=N' — a distinct version-level node whose
+    qualifiers enter identity sorted via canonical_qualifiers. Plain
+    surfaces are byte-for-byte unaffected.
     """
+    from .canonical import canonical_qualifiers
+
+    ver = F.regexp_extract("surface", r"@v([0-9]+)$", 1)
+    base = F.when(
+        (F.col("kind") == "tool") & (ver != ""),
+        F.regexp_extract("surface", r"^([a-z_]+)@v", 1),
+    ).otherwise(F.col("surface"))
+    m = mentions.withColumn("_base", base)
     d = alias_dict.select(
         F.col("alias"), F.col("entity_id").alias("_dict_entity"), F.col("kind")
     )
-    joined = mentions.join(
+    joined = m.join(
         F.broadcast(d),
-        on=[mentions["surface"] == d["alias"], mentions["kind"] == d["kind"]],
+        on=[m["_base"] == d["alias"], m["kind"] == d["kind"]],
         how="left",
     ).drop("alias", d["kind"])
+    qsuffix = F.when(
+        (F.col("kind") == "tool") & (ver != ""),
+        F.concat(
+            F.lit("?"),
+            canonical_qualifiers(
+                F.map_from_arrays(F.array(F.lit("v")), F.array(ver))
+            ),
+        ),
+    ).otherwise(F.lit(""))
     return joined.withColumn(
         "entity_id",
         F.when(F.col("kind") == "reply", F.col("surface")).otherwise(
             F.coalesce(
-                F.col("_dict_entity"),
+                F.when(
+                    F.col("_dict_entity").isNotNull(),
+                    F.concat(F.col("_dict_entity"), qsuffix),
+                ),
                 F.concat(F.lit("ent:unk/"), F.col("surface")),
             )
         ),
-    ).drop("_dict_entity")
+    ).drop("_dict_entity", "_base")
 
 
 def _minhash_bands(df: DataFrame, col: str) -> DataFrame:

@@ -72,12 +72,24 @@ aka AS (
   FROM transcripts
 ),
 linked AS (
+  -- mirrors link.link_exact incl. the versioned-tool trie arm: a
+  -- 'name@vN' tool surface dict-joins on the base name and links to the
+  -- version-level node '<entity>?v=N' (no such surfaces exist in the
+  -- generated corpus, so this arm is exercised by unit fixtures only)
   SELECT m.conv_id, m.turn_idx, m.kind, m.surface,
          CASE WHEN m.kind = 'reply' THEN m.surface
+              WHEN d.entity_id IS NOT NULL AND m.kind = 'tool'
+                   AND regexp_matches(m.surface, '@v[0-9]+$')
+              THEN d.entity_id || '?v='
+                   || regexp_extract(m.surface, '@v([0-9]+)$', 1)
               ELSE coalesce(d.entity_id, 'ent:unk/' || m.surface)
          END AS entity_id
   FROM mentions m
-  LEFT JOIN alias_dict d ON d.alias = m.surface AND d.kind = m.kind
+  LEFT JOIN alias_dict d
+    ON d.kind = m.kind
+   AND d.alias = CASE WHEN m.kind = 'tool'
+                      THEN regexp_replace(m.surface, '@v[0-9]+$', '')
+                      ELSE m.surface END
 ),
 unmatched AS (
   SELECT DISTINCT surface FROM linked WHERE entity_id LIKE 'ent:unk/%'
@@ -295,6 +307,19 @@ WHERE canonical LIKE '%lovel%'
     "q_page": KG_PRELUDE + """
 SELECT vertex_id, kind, canonical FROM vertices
 WHERE vertex_id > '8' ORDER BY vertex_id LIMIT 20
+""",
+    # edge spec filter + keyset connection page (mirrors
+    # graph.filter_edges_spec + page_edges_connection: total_count over
+    # the spec-filtered set, has_next_page from the first+1 probe)
+    "q_edge_page": KG_PRELUDE + """,
+fe AS (SELECT * FROM edges WHERE pred = 'mentions'),
+pg AS (SELECT * FROM fe WHERE edge_id > '8' ORDER BY edge_id LIMIT 25)
+SELECT pg.edge_id, pg.src, pg.dst, pg.pred, pg.origin, pg.document_ref,
+       CASE WHEN (SELECT count(*) FROM fe WHERE edge_id > '8') > 25
+            THEN 1 ELSE 0 END AS has_next_page,
+       (SELECT max(edge_id) FROM pg) AS end_cursor,
+       (SELECT count(*) FROM fe) AS total_count
+FROM pg
 """,
     "q_blob_dedup": KG_PRELUDE + """
 SELECT role, count(DISTINCT sha256(text)) AS n_distinct_texts

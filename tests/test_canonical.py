@@ -54,6 +54,82 @@ def test_qualifier_sorting_is_canonical(spark):
     assert vals == ["a=1&b=2&c=3", "a=1&b=2&c=3"]
 
 
+def test_qualified_identity_roundtrip_and_trie(spark):
+    """Qualifiers enter identity sorted and parse back out — the
+    package-trie version level (VERDICT r2 missing #1)."""
+    df = spark.createDataFrame([("tool", "vec_db")], "k string, n string")
+    quals = F.map_from_arrays(
+        F.array(F.lit("v"), F.lit("arch")), F.array(F.lit("2"), F.lit("x86"))
+    )
+    row = df.select(
+        canonical.build_entity_id("k", "n", quals).alias("c"),
+        canonical.build_entity_id(
+            "k", "n",
+            F.map_from_arrays(
+                F.array().cast("array<string>"),
+                F.array().cast("array<string>"),
+            ),
+        ).alias("plain"),
+    ).collect()[0]
+    # keys sorted: arch before v; empty map adds nothing
+    assert row["c"] == "ent:tool/vec_db?arch=x86&v=2"
+    assert row["plain"] == "ent:tool/vec_db"
+    back = (
+        spark.createDataFrame([(row["c"],)], "canonical string")
+        .select(
+            canonical.parse_entity_id("canonical").alias("p"),
+            canonical.parse_qualifiers("canonical").alias("q"),
+        )
+        .collect()[0]
+    )
+    assert back["p"]["kind"] == "tool" and back["p"]["name"] == "vec_db"
+    assert back["q"] == {"arch": "x86", "v": "2"}
+
+
+def test_versioned_tool_mentions_link_to_version_node(spark):
+    """End-to-end trie exercise: 'tool:x@v2' extracts, links to the
+    version-level node, lands in vertices with STORED attrs, and the
+    filter spec matches on the stored qualifier."""
+    from guac_spark import assemble, extract, link
+
+    t = spark.createDataFrame(
+        [("c1", 0, "ran tool:vec_db@v2 then tool:vec_db ok"),
+         ("c1", 1, "also tool:unknown_thing@v7")],
+        "conv_id string, turn_idx int, text string",
+    )
+    for engine in ("arrow", "sql"):
+        m = extract.extract_mentions(t, engine=engine)
+        got = {r["surface"] for r in m.filter("kind='tool'").collect()}
+        assert got == {"vec_db@v2", "vec_db", "unknown_thing@v7"}
+    adict = spark.createDataFrame(
+        [("vec_db", "ent:tool/vec_db", "tool", 1.0)],
+        "alias string, entity_id string, kind string, prior double",
+    )
+    linked = link.link_exact(extract.extract_mentions(t), adict)
+    ids = {r["surface"]: r["entity_id"]
+           for r in linked.filter("kind='tool'").collect()}
+    assert ids["vec_db"] == "ent:tool/vec_db"
+    assert ids["vec_db@v2"] == "ent:tool/vec_db?v=2"  # version-level node
+    assert ids["unknown_thing@v7"] == "ent:unk/unknown_thing@v7"  # miss
+    # assembly stores attrs incl. the parsed qualifier
+    triples = spark.createDataFrame(
+        [("c1", 0, "turn:c1:0", "uses_tool", "ent:tool/vec_db?v=2"),
+         ("c1", 0, "turn:c1:0", "uses_tool", "ent:tool/vec_db")],
+        "conv_id string, turn_idx int, subj string, pred string, obj string",
+    )
+    verts = assemble.vertices(triples)
+    by = {r["canonical"]: r["attrs"] for r in verts.collect()}
+    assert by["ent:tool/vec_db?v=2"] == {
+        "ns": "tool", "name": "vec_db", "v": "2"
+    }
+    assert by["ent:tool/vec_db"] == {"ns": "tool", "name": "vec_db"}
+    assert by["turn:c1:0"] == {}
+    hit = graph.filter_vertices_spec(verts, attrs_subset={"v": "2"}).collect()
+    assert [r["canonical"] for r in hit] == ["ent:tool/vec_db?v=2"]
+    empty = graph.filter_vertices_spec(verts, match_only_empty_attrs=True)
+    assert {r["canonical"] for r in empty.collect()} == {"turn:c1:0"}
+
+
 def test_shortest_path_nodes_deterministic(spark):
     rows = [("e%d" % i, s, d, "x", "c", "c:0") for i, (s, d) in enumerate(
         [("a", "b1"), ("a", "b2"), ("b1", "c"), ("b2", "c"), ("c", "d")]
