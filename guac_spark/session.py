@@ -58,3 +58,33 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def checkpoint_nostats(df):
+    """localCheckpoint that also RESETS Catalyst's size statistics.
+
+    `DataFrame.localCheckpoint` truncates lineage but copies the plan's
+    estimated stats onto the resulting LogicalRDD (`originStats`). In an
+    iterative self-join loop (connected components' pointer-doubling,
+    label propagation) each round *multiplies* child `sizeInBytes`
+    estimates, so the carried-over BigInt estimate grows ~3x in DIGITS per
+    round; after ~12 rounds the driver spends minutes inside
+    `SizeInBytesOnlyStatsPlanVisitor` multiplying million-digit
+    BigIntegers (measured: 0.3s/round -> 84s/round by round 14 on a
+    120-row graph). Rebuilding the DataFrame from the checkpointed
+    InternalRow RDD drops `originStats`, pinning the estimate at
+    `defaultSizeInBytes`; side effect: the loop's intermediates are never
+    auto-broadcast, which is exactly right for an equivalence table of
+    unknown (potentially huge) size. JVM-side only — no Python
+    serialization.
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    jrdd = jdf.queryExecution().toRdd()
+    spark = ck.sparkSession
+    new_jdf = spark._jsparkSession.internalCreateDataFrame(
+        jrdd, jdf.schema(), False
+    )
+    return _DF(new_jdf, spark)
