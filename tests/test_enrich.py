@@ -194,3 +194,54 @@ def test_delete_vertex_cascades_edges(spark):
     ).count() == 0
     # pre-delete snapshot still on disk (time travel)
     assert wh.committed_snapshot("edges") >= 2
+
+
+def test_token_bucket_caps_rate():
+    # deterministic clock: no sleeps in CI, exact arithmetic
+    from guac_spark.enrich import _TokenBucket
+
+    clock = {"t": 0.0}
+    b = _TokenBucket(rate=10.0, burst=2.0)
+    b._now = lambda: clock["t"]
+    slept = []
+
+    def fake_sleep(s):
+        slept.append(s)
+        clock["t"] += s
+
+    b._sleep = fake_sleep
+    b.tokens, b.t = 2.0, 0.0
+    for _ in range(6):
+        b.take()
+    # burst of 2 free, 4 more refill at 10/s -> >= 0.4s simulated wait
+    assert abs(clock["t"] - 0.4) < 1e-6
+
+
+def test_live_enrichment_rate_capped_and_converges(spark):
+    # live (mapInPandas + token bucket) must emit the exact evidence the
+    # offline scorer does, while issuing requests no faster than rps
+    import time
+
+    root = tempfile.mkdtemp(prefix="wh_live_")
+    run_pipeline(spark, SF_SMALL, root)
+    wh = Warehouse(root)
+    todo = enrich.pending_entities(spark, wh).repartition(1)
+    n = todo.count()
+    assert n >= 20
+    offline = sorted(
+        map(tuple, enrich.enrich_batch(todo).collect())
+    )
+    rps = 200.0
+    t0 = time.monotonic()
+    live = sorted(
+        map(tuple, enrich.enrich_batch_live(todo, rps=rps).collect())
+    )
+    elapsed = time.monotonic() - t0
+    assert live == offline  # identical evidence -> identical convergence
+    # single partition, burst 1: n requests need >= (n-1)/rps seconds
+    assert elapsed >= (n - 1) / rps
+    # and the full loop accepts the live enricher unchanged
+    assert enrich.run_enrichment(
+        spark, root, enricher=lambda e: enrich.enrich_batch_live(e, rps=500.0)
+    ) == n
+    assert enrich.run_enrichment(spark, root) == 0  # converged
