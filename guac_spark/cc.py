@@ -11,18 +11,24 @@ Algorithm: min-label edge propagation interleaved with pointer-doubling
 tree contraction (the alternating-star / hash-to-min family, cf. Kiveris
 et al., "Connected Components in MapReduce and Beyond"):
 
-  outer round:  label(v) <- min(label(v), min over neighbors' labels)
-                (one edge join + salted min);  STOP when this changes
-                nothing — that is a direct proof of edge-consistency;
-  contraction:  label(v) <- label(label(v)) repeated to fixpoint — each
-                pure-jump round is ONE self-join (labels only ever point
-                within the component and label(x) <= x, so the jump is
-                monotone) and doubles the pointer depth covered.
+  each round:   label(v) <- min(label(v),
+                               min over frontier nbrs u of label(u), [edges]
+                               label(label(v)) for v in frontier)    [jump]
+                where the FRONTIER is the set of labels that changed
+                last round (round 0: everything). One edge join + one
+                label lookup feeding a single min-agg, ONE
+                checkpoint + frontier count per round; STOP when the
+                frontier empties. The jump term doubles pointer depth
+                per round (labels only ever point within the component
+                and label(x) <= x, so the jump is monotone). Once the
+                frontier fits the broadcast gate, a round shuffles
+                NEITHER the edge set NOR the label set — broadcast-hash
+                joins against the frontier plus a partition-local
+                checkpoint rewrite.
 
 r2's neighbor-only propagation was O(diameter) full-set rounds (16-hop
 chains cost 16+ rounds, VERDICT r2 #4); here chains collapse in
-O(log diameter) jump rounds that touch no edges, and the edge rounds
-drop to a handful. Deterministic: the winner is the lexicographically
+O(log diameter) fused rounds. Deterministic: the winner is the lexicographically
 smallest node id in the component, independent of partition order or
 parallelism ('ent:org/...' style canonical ids sort before provisional
 'ent:unk/...' ids, so a merged component is always named by its
@@ -33,17 +39,23 @@ exponentially across self-join rounds (SURVEY.md §4 item 2).
 
 Correctness: every label is always the id of a node in the same
 component (neighbor labels and label-of-label both stay inside the
-component) and only ever decreases, so iteration terminates. The outer
-loop exits only when an edge round changes NOTHING, i.e. for every edge
-(a, b): label(a) <= label(b) and label(b) <= label(a) — labels are
-constant per component; the component minimum keeps itself as its own
-label (no smaller id exists in the component), so that constant is the
-minimum. The contraction steps never skip that final edge-consistency
-proof — they only shorten pointer chains between edge rounds.
+component) and only ever decreases, so iteration terminates. Frontier
+completeness: round 0 offers every initial label across every edge, and
+thereafter a node re-enters the frontier exactly when its label value is
+NEW — so by induction every label value a node ever holds is offered
+across all its incident edges. An empty frontier therefore proves that
+for every edge (a, b) the final label(b) was offered to a and did not
+lower label(a) (and vice versa): labels are constant per component, and
+the component minimum keeps itself as its own label, so that constant is
+the minimum. The jump term is a pure accelerator — monotone and
+within-component — and cannot create a fixpoint the edge offers wouldn't
+also reach.
 
-Skew: min() per node uses salted two-level aggregation (skew.py) so a
-celebrity node with millions of incident edges never lands on a single
-reducer. max_iter guards the pathological case.
+Skew: min is algebraic, so Spark's partial (map-side) aggregation already
+collapses a celebrity node's offers to one row per map partition before
+the shuffle — its reduce-side input is bounded by the map partition
+count, not its degree (salted_agg in skew.py remains the tool for
+non-algebraic aggregates). max_iter guards the pathological case.
 """
 
 from __future__ import annotations
@@ -52,7 +64,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .session import checkpoint_nostats
-from .skew import salted_agg
 
 
 def _union_find_local(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
@@ -81,8 +92,9 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    n_salts: int = 16,
+    n_salts: int = 16,  # kept for API compat; algebraic min needs no salting
     driver_threshold: int = 2_000_000,
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Compute components of the undirected graph given by (src, dst) rows.
 
@@ -96,8 +108,10 @@ def connected_components(
         smaller than the corpus (only same_as/link pairs), so even at
         10^12 turns it is usually driver-sized; collect + solve beats
         O(diameter) distributed rounds.
-      * otherwise: min-label edge rounds + pointer-doubling contraction
-        (module docstring), O(log diameter) rounds total.
+      * otherwise: frontier-based min-label propagation with a fused
+        pointer-doubling jump term (module docstring), O(log diameter)
+        rounds; after round 0 each round touches only the changed-label
+        frontier, broadcast-joined once it fits broadcast_limit rows.
     """
     spark = edges.sparkSession
     n_edges = edges.count()
@@ -109,31 +123,106 @@ def connected_components(
         if not rows:
             return spark.createDataFrame([], "node string, component string")
         return spark.createDataFrame(rows, "node string, component string")
-    # undirected: both directions, plus self rows so isolated endpoints keep
-    # a label; partitioned on the join key so edge rounds never re-shuffle
-    # the edge set
+    # undirected: both directions. No distinct(): duplicate edges only
+    # produce duplicate min-offers (harmless), and deduping costs a full
+    # extra shuffle of the edge set. Partitioned on the join key so edge
+    # rounds start from a b-clustered layout.
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
-        .distinct()
     )
     e = checkpoint_nostats(e.repartition("b"))
+
+    # All aggregations below are plain groupBy().min(): min is algebraic,
+    # so Spark's partial (map-side) aggregation collapses a hot key to ONE
+    # row per map partition before the shuffle — a celebrity hub's
+    # reduce-side input is bounded by the map partition count, not its
+    # degree. salted_agg (skew.py) is for the non-algebraic cases.
+    def _min_label(offers: DataFrame, out: str) -> DataFrame:
+        return offers.groupBy("node").agg(F.min("label").alias(out))
+
+    # Round 0 folded into initialization: with identity labels, the edge
+    # offer label(u)=u reduces to e itself ((a, b) offers b to a) and the
+    # jump term is the identity — the first full-size round needs NO join
+    # at all, just one min over the edge list plus self rows.
     labels = checkpoint_nostats(
-        e.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        _min_label(
+            e.select(F.col("a").alias("node"), F.col("b").alias("label"))
+            .unionByName(
+                e.select(
+                    F.col("a").alias("node"), F.col("a").alias("label")
+                )
+            ),
+            "label",
+        )
     )
 
-    def _apply(cand: DataFrame) -> tuple[DataFrame, int]:
-        """labels <- elementwise min with candidate labels; returns the
-        new checkpointed labels and the number of changed rows."""
-        # checkpoint_nostats (not plain localCheckpoint): the self-join
-        # loop compounds carried-over sizeInBytes estimates exponentially —
+    # Frontier (delta) iteration: only labels that CHANGED last round are
+    # propagated. Round 0 offers every initial label across every edge;
+    # from then on a label value is re-offered exactly when it is new.
+    # Exit when the frontier is empty — by induction every label value
+    # was offered across all incident edges when it became current, so an
+    # empty frontier proves edge-consistency (module docstring), and the
+    # jump term is a pure accelerator (monotone, within-component).
+    #
+    # Scale shape: after round 0 the frontier shrinks geometrically, and
+    # once it fits the broadcast gate the whole round runs WITHOUT
+    # shuffling the full edge or label sets — broadcast-hash joins against
+    # the small frontier, map-side only, plus one partition-local rewrite
+    # of the labels checkpoint.
+    frontier = labels.filter(F.col("label") != F.col("node"))
+    frontier_n: int | None = frontier.count()
+    cur_ck = labels._ck_source  # block-cache backing the live labels
+    for _ in range(max_iter):
+        if frontier_n == 0:
+            break
+        small = frontier_n is not None and frontier_n <= broadcast_limit
+
+        def _b(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small else df
+
+        # edge offers: frontier labels flow to their neighbors
+        nbr = (
+            e.join(
+                _b(
+                    frontier.select(
+                        F.col("node").alias("b"), F.col("label")
+                    )
+                ),
+                on="b",
+            ).select(F.col("a").alias("node"), "label")
+        )
+        # jump offers (pointer doubling): nodes in the frontier fetch
+        # their label's label — collapses chains in O(log diameter)
+        jump = (
+            labels.select(
+                F.col("node").alias("_p"), F.col("label")
+            )
+            .join(
+                _b(
+                    frontier.select(
+                        "node", F.col("label").alias("_p")
+                    )
+                ),
+                on="_p",
+            )
+            .select("node", "label")
+        )
+        cand = _min_label(nbr.unionByName(jump), "cand")
+        if small:
+            # cand can exceed the frontier (a hub's every neighbor gets
+            # an offer) — materialize and re-check before broadcasting
+            cand = checkpoint_nostats(cand)
+            if cand.count() > broadcast_limit:
+                small = False
+        # labels <- elementwise min with candidates. checkpoint_nostats
+        # (not plain localCheckpoint): an iterative self-join loop
+        # compounds carried-over sizeInBytes estimates exponentially —
         # see session.checkpoint_nostats
         merged = checkpoint_nostats(
-            labels.join(cand, on="node", how="left")
+            labels.join(_b(cand), on="node", how="left")
             .select(
                 "node",
                 F.col("label").alias("_old"),
@@ -142,37 +231,22 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        changed = merged.filter(F.col("label") < F.col("_old")).limit(1).count()
-        return merged.select("node", "label"), changed
-
-    for _ in range(max_iter):
-        # edge round: salted min of neighbor labels (hot hubs spread over
-        # n_salts reducers); exiting on "no change" IS the proof of
-        # edge-consistency — see module docstring
-        nbr = (
-            e.join(labels.withColumnRenamed("node", "b"), on="b")
-            .select(F.col("a").alias("node"), "label")
+        # merged is materialized (eager) — the superseded labels
+        # checkpoint and the round's cand checkpoint are dead; free their
+        # blocks so long convergence tails don't accumulate executor
+        # storage proportional to rounds x |labels|
+        cur_ck.unpersist(False)
+        cand_ck = getattr(cand, "_ck_source", None)
+        if cand_ck is not None:
+            cand_ck.unpersist(False)
+        cur_ck = merged._ck_source
+        frontier = merged.filter(F.col("label") < F.col("_old")).select(
+            "node", "label"
         )
-        cand = salted_agg(
-            nbr, keys=["node"], aggs={"label": "min"}, n_salts=n_salts
-        ).withColumnRenamed("min_label", "cand")
-        labels, changed = _apply(cand)
-        if changed == 0:
+        frontier_n = frontier.count()  # cheap: scans the checkpoint
+        labels = merged.select("node", "label")
+        if frontier_n == 0:
             break
-        # contraction: pointer-double (label <- label(label)) to fixpoint;
-        # pure self-joins, no edge traffic, halves chain depth per round
-        for _ in range(max_iter):
-            jump = (
-                labels.withColumnRenamed("node", "_p")
-                .withColumnRenamed("label", "cand")
-                .join(
-                    labels.withColumnRenamed("label", "_p"), on="_p"
-                )
-                .select("node", "cand")
-            )
-            labels, changed = _apply(jump)
-            if changed == 0:
-                break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"

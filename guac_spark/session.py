@@ -87,4 +87,9 @@ def checkpoint_nostats(df):
     new_jdf = spark._jsparkSession.internalCreateDataFrame(
         jrdd, jdf.schema(), False
     )
-    return _DF(new_jdf, spark)
+    out = _DF(new_jdf, spark)
+    # handle to the backing block-cache, so iterative callers can free a
+    # superseded checkpoint once its successor is materialized (the blocks
+    # are the ONLY copy — unpersist strictly after the last read)
+    out._ck_source = ck
+    return out

@@ -88,7 +88,11 @@ def main() -> None:
     t_uf = time.time() - t0
     identical = dist_rows == uf_rows
 
-    # (b) wall time at scale size, distributed path only
+    # (b) wall time at scale size, distributed path only — fresh session
+    # so the verify leg's cached blocks/JIT state can't skew the timing
+    spark.stop()
+    spark = get_spark(app_name="cc_scale_evidence_big", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
     se = synth_edges(spark, scale_n).localCheckpoint(eager=True)
     n_scale = se.count()
     t0 = time.time()
