@@ -76,8 +76,11 @@ def _q_mentions(spark, sf):
 
 
 def _q_linked_mentions(spark, sf):
+    # kind='aka' rows are fused-scan equivalence payload, not mentions —
+    # the oracle's linked-mention surface excludes them
     return (
         _ctx(spark, sf)["mentions_linked"]
+        .filter(F.col("kind") != "aka")
         .select("kind", "surface", "entity_id")
         .distinct()
     )

@@ -54,6 +54,10 @@ def triples_final(
     pred_map = F.create_map(
         *[F.lit(x) for kv in PRED_BY_KIND.items() for x in kv]
     )
+    # kind='aka' rows are equivalence-pair payload from the fused scan,
+    # not mentions — they carry no predicate and never become triples
+    if "surface_b" in linked_mentions.columns:
+        linked_mentions = linked_mentions.filter(F.col("kind") != "aka")
     t = linked_mentions.select(
         "conv_id",
         "turn_idx",

@@ -123,6 +123,114 @@ def extract_mentions(transcripts: DataFrame, engine: str = "arrow") -> DataFrame
     raise ValueError(f"unknown engine {engine!r}")
 
 
+FUSED_SCHEMA = MENTIONS_SCHEMA + ", surface_b string"
+# joins the two aka capture groups into one string for the sql engine's
+# map-of-arrays explode; cannot occur in surfaces ([a-z-_@v0-9] only)
+_AKA_SEP = "\x01"
+
+
+def extract_mentions_fused(
+    transcripts: DataFrame, engine: str = "arrow"
+) -> DataFrame:
+    """ONE corpus scan emitting mention rows AND aka equivalence pairs.
+
+    Output = extract_mentions rows (surface_b null) plus kind='aka' rows
+    (surface=left side, surface_b=right side) — engine-parity and
+    fused-vs-separate parity are pytest-pinned. The pipeline writes this
+    superset as the mentions_linked snapshot so the equivalences stage
+    reads back only the tiny aka slice instead of re-scanning the full
+    transcript corpus: at 100 TB that second scan was a whole extra
+    DRAM/IO pass (and the worst-scaling stage of the r2 bench); here it
+    folds into the extraction scan for the cost of one mostly-null
+    column.
+    """
+    if engine == "arrow":
+        cols = transcripts.select("conv_id", "turn_idx", "text")
+        return cols.mapInPandas(_extract_fused_batch, FUSED_SCHEMA)
+    if engine == "sql":
+        kv = []
+        for kind, pat in MENTION_PATTERNS:
+            kv.append(F.lit(kind))
+            kv.append(F.regexp_extract_all("text", F.lit(pat), F.lit(1)))
+        kv.append(F.lit("aka"))
+        # cheap substring prefilter: most turns have no aka pattern, so
+        # gate the two regex passes behind contains()
+        kv.append(
+            F.when(
+                F.col("text").contains(" aka @"),
+                F.zip_with(
+                    F.regexp_extract_all("text", F.lit(AKA_RE), F.lit(1)),
+                    F.regexp_extract_all("text", F.lit(AKA_RE), F.lit(2)),
+                    lambda a, b: F.concat(a, F.lit(_AKA_SEP), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        return (
+            transcripts.select(
+                "conv_id",
+                "turn_idx",
+                F.explode(F.create_map(*kv)).alias("kind", "arr"),
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                "kind",
+                F.explode("arr").alias("_s"),
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                "kind",
+                F.when(
+                    F.col("kind") == "aka",
+                    F.split_part(F.col("_s"), F.lit(_AKA_SEP), F.lit(1)),
+                )
+                .otherwise(F.col("_s"))
+                .alias("surface"),
+                F.when(
+                    F.col("kind") == "aka",
+                    F.split_part(F.col("_s"), F.lit(_AKA_SEP), F.lit(2)),
+                ).alias("surface_b"),
+            )
+        )
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def _extract_fused_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        outs = []
+        for kind, pat in MENTION_PATTERNS:
+            found = pdf["text"].str.findall(pat)
+            e = pdf[["conv_id", "turn_idx"]].copy()
+            e["kind"] = kind
+            e["surface"] = found
+            e = e.explode("surface")
+            e = e[e["surface"].notna()]
+            e["surface"] = e["surface"].astype(str)
+            e["surface_b"] = None
+            outs.append(
+                e[["conv_id", "turn_idx", "kind", "surface", "surface_b"]]
+            )
+        aka = pdf["text"].str.findall(AKA_RE)
+        a = pdf[["conv_id", "turn_idx"]].copy()
+        a["kind"] = "aka"
+        a["pair"] = aka
+        a = a.explode("pair")
+        a = a[a["pair"].notna()]
+        if len(a):
+            a["surface"] = a["pair"].str[0].astype(str)
+            a["surface_b"] = a["pair"].str[1].astype(str)
+        else:
+            a["surface"] = pd.Series(dtype=str)
+            a["surface_b"] = pd.Series(dtype=str)
+        outs.append(
+            a[["conv_id", "turn_idx", "kind", "surface", "surface_b"]]
+        )
+        yield pd.concat(outs, ignore_index=True)
+
+
 def extract_aka_pairs(transcripts: DataFrame, engine: str = "arrow") -> DataFrame:
     """(conv_id, turn_idx, surface_a, surface_b) for '@a aka @b' patterns."""
     if engine == "arrow":

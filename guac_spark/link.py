@@ -231,9 +231,14 @@ def link_tail(
 
 
 def unmatched_surfaces(linked_mentions: DataFrame) -> DataFrame:
-    """Distinct provisional surfaces needing tail linking."""
+    """Distinct provisional surfaces needing tail linking.
+
+    kind='aka' rows (fused-scan equivalence pairs riding in the mentions
+    table) are excluded: their surfaces already appear as person mentions,
+    and only those decide the tail-LSH input."""
     return (
         linked_mentions.filter(F.col("entity_id").startswith("ent:unk/"))
+        .filter(F.col("kind") != "aka")
         .select("surface")
         .distinct()
     )

@@ -89,7 +89,10 @@ def run_pipeline(
     )
 
     def build_linked() -> DataFrame:
-        mentions = extract.extract_mentions(transcripts, engine=engine)
+        # fused extraction: mention rows AND aka equivalence rows from ONE
+        # corpus scan — the aka slice rides along as kind='aka' rows so
+        # the equivalences stage never re-scans the full text corpus
+        mentions = extract.extract_mentions_fused(transcripts, engine=engine)
         # cluster by conv_id before the bucketed write: one file per
         # bucket, and the hash layout is recorded in the catalog so the
         # downstream triples dedup (keys ⊇ conv_id) runs with NO exchange
@@ -104,11 +107,14 @@ def run_pipeline(
 
     def build_links() -> DataFrame:
         tail = link.link_tail(link.unmatched_surfaces(linked), adict)
-        # aka extraction is a prefiltered regexp_extract_all + zip — always
-        # take the pure-JVM engine here (identical semantics, parity
-        # tested); a second full-corpus Arrow transfer would double the
-        # Python cost for a pattern that appears in a minority of turns
-        aka = extract.extract_aka_pairs(transcripts, engine="sql")
+        # aka pairs come from the committed mentions_linked snapshot
+        # (kind='aka' rows emitted by the fused extraction scan) — the
+        # equivalences stage reads back a tiny column-pruned slice
+        # instead of re-scanning the full transcript corpus
+        aka = linked.filter(F.col("kind") == "aka").select(
+            F.col("surface").alias("surface_a"),
+            F.col("surface_b"),
+        )
         aka_res = assemble.resolve_surfaces(
             aka, adict, ["surface_a", "surface_b"]
         ).select(

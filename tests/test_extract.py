@@ -92,3 +92,35 @@ def test_triples_surface_shape(spark):
     assert preds == {"mentions", "replies_to", "same_as"}
     reply = [r for r in tr.collect() if r["pred"] == "replies_to"][0]
     assert reply["obj"] == "turn:c0:0"
+
+
+def test_fused_extraction_matches_separate(spark):
+    # the single-scan fused extraction must reproduce extract_mentions
+    # (non-aka slice) and extract_aka_pairs (aka slice), per engine, and
+    # the engines must agree with each other
+    from pyspark.sql import functions as F
+
+    t = corpus.transcripts(spark, SF_SMALL)
+    fused = {
+        eng: extract.extract_mentions_fused(t, engine=eng)
+        for eng in ("arrow", "sql")
+    }
+    want_m = _multiset(extract.extract_mentions(t))
+    want_a = _multiset(
+        extract.extract_aka_pairs(t).select(
+            "conv_id", "turn_idx", "surface_a", "surface_b"
+        )
+    )
+    for eng, f in fused.items():
+        got_m = _multiset(
+            f.filter(F.col("kind") != "aka").select(
+                "conv_id", "turn_idx", "kind", "surface"
+            )
+        )
+        assert got_m == want_m, eng
+        got_a = _multiset(
+            f.filter(F.col("kind") == "aka").select(
+                "conv_id", "turn_idx", "surface", "surface_b"
+            )
+        )
+        assert got_a == want_a, eng
