@@ -245,6 +245,28 @@ def _q_delete_cascade(spark, sf):
     )
 
 
+def _q_enrich_evidence(spark, sf):
+    """Run the certifier-analog enrichment loop to convergence on a cloned
+    warehouse and return the evidence edges it appended — exercises
+    pending_entities -> enrich_batch -> atomic evidence+ledger commit
+    (guac_spark.enrich), not a re-statement of the scorer."""
+    import tempfile
+
+    from guac_spark import enrich
+    from guac_spark.warehouse import Warehouse
+
+    t = _ctx(spark, sf)
+    root = tempfile.mkdtemp(prefix="guac_enrich_")
+    wh = Warehouse(root)
+    wh.write_snapshot(t["vertices"], "vertices", stage="clone")
+    wh.write_snapshot(t["edges"], "edges", stage="clone")
+    while enrich.run_enrichment(spark, root):
+        pass
+    return wh.read(spark, enrich.EVIDENCE_TABLE).select(
+        "src", "dst", "pred", "origin"
+    )
+
+
 def _q_blob_dedup(spark, sf):
     t = _ctx(spark, sf)["transcripts"]
     return t.groupBy("role").agg(
@@ -332,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edge_page": _q_edge_page,
         "q_vuln_reach": _q_vuln_reach,
         "q_delete_cascade": _q_delete_cascade,
+        "q_enrich_evidence": _q_enrich_evidence,
         "q_blob_dedup": _q_blob_dedup,
         "q_role_dist": _q_role_dist,
         "q_keep_latest": _q_keep_latest,

@@ -369,6 +369,18 @@ SELECT cast(step AS INT) AS step, node FROM chain
 SELECT edge_id, src, dst, pred, origin, document_ref FROM edges
 WHERE src <> '{CELEB_ENTITY}' AND dst <> '{CELEB_ENTITY}'
 """,
+    # certifier-analog evidence: deterministic sha2-derived score, one
+    # has_metadata edge per person entity (enrich.enrich_batch mirrored:
+    # conv(substr(sha2(canonical,256),1,4),16,10) % 100)
+    "q_enrich_evidence": KG_PRELUDE + """
+SELECT canonical AS src,
+       'ent:meta/score-' || CAST(
+         CAST(('0x' || substr(sha256(canonical), 1, 4)) AS UBIGINT) % 100
+         AS VARCHAR) AS dst,
+       'has_metadata' AS pred,
+       'enricher' AS origin
+FROM vertices WHERE kind = 'person'
+""",
     # conjunctive filter spec with qualifier subset-match
     # (package.graphql:129-155): attrs {{'ns': 'person'}} + substring
     "q_filter_spec": KG_PRELUDE + """
