@@ -64,11 +64,39 @@ def _minhash_sig(s: str) -> np.ndarray:
     return hashed.min(axis=1)
 
 
+def _minhash_sigs_batch(surfaces: list[str]) -> np.ndarray:
+    """[n_surfaces, N_HASHES] signatures in one modular-hash pass.
+
+    Same whole-batch shape as textops/minhash.py (VERDICT r2 wrong #5):
+    crc32 each DISTINCT gram once, hash the vocab as one matrix, gather,
+    segmented min. Bit-identical to _minhash_sig per surface (pytest-
+    pinned), so the literal-rendered DuckDB oracle is unaffected.
+    """
+    vocab: dict[str, int] = {}
+    flat: list[int] = []
+    starts: list[int] = [0]
+    for s in surfaces:
+        for g in _ngrams(s):
+            flat.append(vocab.setdefault(g, len(vocab)))
+        starts.append(len(flat))
+    vals = np.array(
+        [zlib.crc32(g.encode("utf-8")) for g in vocab], dtype=np.int64
+    )
+    hashed = (_A[:, None] * vals[None, :] + _B[:, None]) % _PRIME
+    gathered = hashed[:, np.array(flat, dtype=np.int64)]
+    # every surface yields >= 1 gram (_ngrams returns {s} when short)
+    return np.minimum.reduceat(
+        gathered, np.array(starts[:-1], dtype=np.int64), axis=1
+    ).T
+
+
 def _band_rows(surfaces: pd.Series, side: str) -> pd.DataFrame:
+    surfs = list(surfaces)
     rows = []
     rows_per_band = N_HASHES // N_BANDS
-    for s in surfaces:
-        sig = _minhash_sig(s)
+    sigs = _minhash_sigs_batch(surfs) if surfs else None
+    for i, s in enumerate(surfs):
+        sig = sigs[i]
         for b in range(N_BANDS):
             chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
             key = zlib.crc32(("|".join(map(str, chunk))).encode())
@@ -77,9 +105,18 @@ def _band_rows(surfaces: pd.Series, side: str) -> pd.DataFrame:
 
 
 def _exact_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+    # gram sets computed once per DISTINCT string, not once per pair row
+    cache: dict[str, set] = {}
+
+    def grams(s: str) -> set:
+        got = cache.get(s)
+        if got is None:
+            got = cache[s] = _ngrams(s)
+        return got
+
     out = np.empty(len(a), dtype=np.float64)
     for i, (x, y) in enumerate(zip(a, b)):
-        gx, gy = _ngrams(x), _ngrams(y)
+        gx, gy = grams(x), grams(y)
         out[i] = len(gx & gy) / len(gx | gy)
     return pd.Series(out)
 

@@ -66,3 +66,15 @@ def test_celebrity_head_link_is_broadcast(spark):
     plan = linked._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_batch_minhash_sigs_match_per_string():
+    import numpy as np
+
+    from guac_spark.link import _minhash_sig, _minhash_sigs_batch
+
+    surfs = ["grace-hopperr", "alan-turingg", "ada", "x", "topic_3",
+             "grace-hopperr"]
+    batch = _minhash_sigs_batch(surfs)
+    for i, s in enumerate(surfs):
+        assert np.array_equal(batch[i], _minhash_sig(s)), s
