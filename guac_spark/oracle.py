@@ -178,9 +178,13 @@ vertices AS (
   )
 ),
 edges AS (
+  -- trailing '|' = the canonical rendering of the (empty) typed-attrs map,
+  -- the sixth edge_id segment (assemble.edge_id_col): extraction verbs
+  -- carry provenance only, enrichment evidence populates attrs
   SELECT DISTINCT
          sha256(subj || '|' || pred || '|' || obj || '|' || conv_id || '|'
-                || conv_id || ':' || cast(turn_idx AS STRING)) AS edge_id,
+                || conv_id || ':' || cast(turn_idx AS STRING) || '|')
+           AS edge_id,
          subj AS src, obj AS dst, pred,
          conv_id AS origin,
          conv_id || ':' || cast(turn_idx AS STRING) AS document_ref
@@ -313,13 +317,14 @@ WHERE vertex_id > '8' ORDER BY vertex_id LIMIT 20
     # the spec-filtered set, has_next_page from the first+1 probe)
     "q_edge_page": KG_PRELUDE + """,
 fe AS (SELECT * FROM edges WHERE pred = 'mentions'),
-pg AS (SELECT * FROM fe WHERE edge_id > '8' ORDER BY edge_id LIMIT 25)
+pg AS (SELECT * FROM fe WHERE edge_id > '8' ORDER BY edge_id LIMIT 25),
+tot AS (SELECT count(*) AS total_count FROM fe)
 SELECT pg.edge_id, pg.src, pg.dst, pg.pred, pg.origin, pg.document_ref,
        CASE WHEN (SELECT count(*) FROM fe WHERE edge_id > '8') > 25
             THEN 1 ELSE 0 END AS has_next_page,
        (SELECT max(edge_id) FROM pg) AS end_cursor,
-       (SELECT count(*) FROM fe) AS total_count
-FROM pg
+       tot.total_count
+FROM tot LEFT JOIN pg ON TRUE
 """,
     "q_blob_dedup": KG_PRELUDE + """
 SELECT role, count(DISTINCT sha256(text)) AS n_distinct_texts
@@ -371,14 +376,27 @@ WHERE src <> '{CELEB_ENTITY}' AND dst <> '{CELEB_ENTITY}'
 """,
     # certifier-analog evidence: deterministic sha2-derived score, one
     # has_metadata edge per person entity (enrich.enrich_batch mirrored:
-    # conv(substr(sha2(canonical,256),1,4),16,10) % 100)
+    # conv(substr(sha2(canonical,256),1,4),16,10) % 100). The score is a
+    # TYPED edge attribute (attrs['score']) pointing at the shared
+    # reputation metadata node, not a value baked into dst
     "q_enrich_evidence": KG_PRELUDE + """
 SELECT canonical AS src,
-       'ent:meta/score-' || CAST(
-         CAST(('0x' || substr(sha256(canonical), 1, 4)) AS UBIGINT) % 100
-         AS VARCHAR) AS dst,
+       'ent:meta/reputation' AS dst,
        'has_metadata' AS pred,
-       'enricher' AS origin
+       'enricher' AS origin,
+       CAST(CAST(('0x' || substr(sha256(canonical), 1, 4)) AS UBIGINT) % 100
+            AS INT) AS score
+FROM vertices WHERE kind = 'person'
+""",
+    # edge-side attrs subset-match (isDependency.graphql:31-47 typed
+    # fields): evidence edges filtered by attrs{'collector': 'enricher'},
+    # typed score + justification projected out of the attrs map
+    "q_edge_attrs": KG_PRELUDE + """
+SELECT canonical AS src,
+       'has_metadata' AS pred,
+       CAST(CAST(('0x' || substr(sha256(canonical), 1, 4)) AS UBIGINT) % 100
+            AS INT) AS score,
+       'reputation-sha2' AS justification
 FROM vertices WHERE kind = 'person'
 """,
     # conjunctive filter spec with qualifier subset-match
@@ -393,13 +411,14 @@ WHERE canonical LIKE 'ent:person/%' AND canonical LIKE '%-l%'
 pg AS (
   SELECT vertex_id, kind, canonical FROM vertices
   WHERE vertex_id > '8' ORDER BY vertex_id LIMIT 20
-)
+),
+tot AS (SELECT count(*) AS total_count FROM vertices)
 SELECT p.vertex_id, p.kind, p.canonical,
        cast((SELECT count(*) FROM vertices WHERE vertex_id > '8') > 20
             AS INT) AS has_next_page,
        (SELECT max(vertex_id) FROM pg) AS end_cursor,
-       (SELECT count(*) FROM vertices) AS total_count
-FROM pg p
+       tot.total_count
+FROM tot LEFT JOIN pg p ON TRUE
 """,
     # vuln reachability composition (§2.7.4): blast-radius BFS from the
     # vulnerable tool + freshest observation per reached entity
@@ -424,6 +443,15 @@ latest AS MATERIALIZED (
 )
 SELECT r.node, r.dist, l.last_seen_us
 FROM vreach r LEFT JOIN latest l ON l.node = r.node
+""",
+    # driver-checked streaming (VERDICT r3 missing #3): the stateful
+    # GroupState drain's final per-conversation state must equal a plain
+    # aggregate over the same staged corpus
+    "q_stream_progress": KG_PRELUDE + """
+SELECT conv_id, count(*) AS n_turns,
+       cast(max(turn_idx) AS INT) AS max_turn_idx,
+       epoch_us(max(ts)) AS last_ts_us
+FROM transcripts GROUP BY conv_id
 """,
     # findSoftware via the materialized ngram index — same result as the
     # scan, so the scan oracle is the gate

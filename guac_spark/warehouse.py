@@ -214,7 +214,13 @@ class Warehouse:
         reclaimed by the next writer's rmtree)."""
         with self._log_lock:
             log = self._read_log()
-            for p in pendings:
+            # apply per-table in snapshot order, and never regress the
+            # committed snapshot_id below an already-referenced snap dir:
+            # _reserved is per-process, so pendings prepared in one process
+            # and committed after another process advanced the log could
+            # otherwise point max(prev, reserved)+1 at a directory a
+            # committed snapshot still references (ADVICE r3)
+            for p in sorted(pendings, key=lambda x: (x["table"], x["snap"])):
                 table = p["table"]
                 paths = [p["path"]]
                 rows: int | None = p["new_rows"]
@@ -228,8 +234,12 @@ class Warehouse:
                         rows + entry["rows"]
                         if entry.get("rows") is not None else None
                     )
+                prev_entry = log["tables"].get(table)
                 entry = {
-                    "snapshot_id": p["snap"],
+                    "snapshot_id": max(
+                        p["snap"],
+                        prev_entry["snapshot_id"] if prev_entry else 0,
+                    ),
                     "paths": paths,
                     "committed_at": p["committed_at"],
                     "stage": p["stage"],

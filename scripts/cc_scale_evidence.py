@@ -18,8 +18,13 @@ Graph shape (deterministic, seeded by construction not RNG):
   * one celebrity star with 10% of all edges on a single hub (skew), and
   * isolated pairs.
 
-Usage: SPARK_GRAFT_CPUS=32 python scripts/cc_scale_evidence.py [verify_edges] [scale_edges]
-Prints one JSON line.
+Usage: SPARK_GRAFT_CPUS=32 python scripts/cc_scale_evidence.py \
+           [verify_edges] [scale_edges] [chain_len]
+Prints one JSON line. chain_len (default 16) sets the chain depth; a DEEP
+value (e.g. 4096) produces a long convergence tail whose frontier shrinks
+geometrically, so the later rounds run under the broadcast gate — the
+datapoint NOTES_r3 #3 was missing (the mixed 16-chain graph collapses its
+frontier in one round and never exercises broadcast rounds at scale).
 """
 
 from __future__ import annotations
@@ -40,7 +45,7 @@ from guac_spark.session import get_spark  # noqa: E402
 CHAIN = 16
 
 
-def synth_edges(spark, n_edges: int):
+def synth_edges(spark, n_edges: int, chain_len: int = CHAIN):
     """Deterministic mixed-shape equivalence graph with n_edges rows."""
     n_star = n_edges // 10
     n_pairs = n_edges // 10
@@ -52,7 +57,7 @@ def synth_edges(spark, n_edges: int):
             F.format_string("c%012d", F.col("id")).alias("src"),
             F.format_string(
                 "c%012d",
-                F.when((F.col("id") + 1) % CHAIN == 0, F.col("id"))
+                F.when((F.col("id") + 1) % chain_len == 0, F.col("id"))
                 .otherwise(F.col("id") + 1),
             ).alias("dst"),
         )
@@ -72,12 +77,13 @@ def synth_edges(spark, n_edges: int):
 def main() -> None:
     verify_n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     scale_n = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+    chain_len = int(sys.argv[3]) if len(sys.argv) > 3 else CHAIN
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="cc_scale_evidence", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     # (a) identity at verification size
-    ve = synth_edges(spark, verify_n).localCheckpoint(eager=True)
+    ve = synth_edges(spark, verify_n, chain_len).localCheckpoint(eager=True)
     t0 = time.time()
     dist = connected_components(ve, driver_threshold=0, max_iter=40)
     dist_rows = sorted(map(tuple, dist.collect()))
@@ -93,21 +99,27 @@ def main() -> None:
     spark.stop()
     spark = get_spark(app_name="cc_scale_evidence_big", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    se = synth_edges(spark, scale_n).localCheckpoint(eager=True)
+    se = synth_edges(spark, scale_n, chain_len).localCheckpoint(eager=True)
     n_scale = se.count()
+    stats: list = []
     t0 = time.time()
-    big = connected_components(se, driver_threshold=0, max_iter=40)
+    big = connected_components(
+        se, driver_threshold=0, max_iter=40, round_stats=stats
+    )
     n_components = big.select("component").distinct().count()
     t_dist_scale = time.time() - t0
 
     print(json.dumps({
         "identical_at_verify_size": identical,
         "verify_edges": verify_n,
+        "chain_len": chain_len,
         "t_distributed_verify_sec": round(t_dist_verify, 1),
         "t_unionfind_sec": round(t_uf, 1),
         "scale_edges": n_scale,
         "scale_components": n_components,
         "t_distributed_scale_sec": round(t_dist_scale, 1),
+        "rounds": stats,
+        "n_broadcast_rounds": sum(1 for r in stats if r["broadcast"]),
         "cpus": cpus,
     }))
     spark.stop()

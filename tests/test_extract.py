@@ -124,3 +124,19 @@ def test_fused_extraction_matches_separate(spark):
             )
         )
         assert got_a == want_a, eng
+
+
+def test_person_boundary_excludes_tool_version_suffix(spark):
+    """ADVICE r3: 'tool:vec_db@v2' must not fabricate a person mention
+    'v' — PERSON_RE requires a non-alphanumeric boundary (or start of
+    text) before '@', in both engines."""
+    t = _mini(
+        spark,
+        ["run tool:vec_db@v2 now", "@ada-lovelace leads", "see (@alan-turing)"],
+    )
+    for engine in ("arrow", "sql"):
+        m = extract.extract_mentions(t, engine=engine).collect()
+        persons = sorted(r["surface"] for r in m if r["kind"] == "person")
+        assert persons == ["ada-lovelace", "alan-turing"], (engine, persons)
+        tools = [r["surface"] for r in m if r["kind"] == "tool"]
+        assert tools == ["vec_db@v2"]
