@@ -84,8 +84,13 @@ def run_pipeline(
 
     adict = corpus.alias_dict(spark)
 
+    # transcripts are written BUCKETED on conv_id: the derivation window
+    # already hash-shuffles on conv_id, so the bucket layout costs no new
+    # exchange — and every downstream corpus pass inherits it
     transcripts = stage(
-        "transcripts", lambda: corpus.transcripts(spark, sf_dir)
+        "transcripts",
+        lambda: corpus.transcripts(spark, sf_dir),
+        bucket_by=(N_BUCKETS, ["conv_id"]),
     )
 
     def build_linked() -> DataFrame:
@@ -93,13 +98,14 @@ def run_pipeline(
         # corpus scan — the aka slice rides along as kind='aka' rows so
         # the equivalences stage never re-scans the full text corpus
         mentions = extract.extract_mentions_fused(transcripts, engine=engine)
-        # cluster by conv_id before the bucketed write: one file per
-        # bucket, and the hash layout is recorded in the catalog so the
-        # downstream triples dedup (keys ⊇ conv_id) runs with NO exchange
-        # — the pipeline's second-largest shuffle folds into this write
-        return link.link_exact(mentions, adict).repartition(
-            N_BUCKETS, "conv_id"
-        )
+        # NO repartition before the bucketed write (r3 shuffled the whole
+        # mention stream here): the transcripts scan is bucket-partitioned
+        # on conv_id, extraction/link preserve row placement (projections,
+        # explode, broadcast join), and a bucketBy write routes rows to
+        # bucket files per task — so the mention stream reaches its
+        # bucketed layout with ZERO exchanges, and the downstream triples
+        # dedup (keys ⊇ conv_id) still runs shuffle-free off the catalog
+        return link.link_exact(mentions, adict)
 
     linked = stage(
         "mentions_linked", build_linked, bucket_by=(N_BUCKETS, ["conv_id"])

@@ -50,6 +50,13 @@ def get_spark(
         # zstd: fewer bytes through the shared disk/page-cache path at the
         # cost of (abundant, parallel) CPU — the right trade at cluster
         # scale and for single-box core-scaling alike
+        # always honor bucket layouts on scan: autoBucketedScan only keeps
+        # bucketing for join/agg consumers, but this pipeline's consumers
+        # include bucketed WRITES (transcripts -> mentions_linked rides the
+        # bucket layout end-to-end with zero exchanges) which the
+        # heuristic doesn't recognize
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")

@@ -1,14 +1,14 @@
-"""Interleaved A/B benchmark between two git refs (VERDICT r3 wrong #2).
+"""Interleaved A/B/N benchmark between git refs (VERDICT r3 wrong #2).
 
 Settles whether a throughput delta between rounds is code or host state:
-both refs run from their own clean worktrees, legs strictly interleaved
-(A, B, A, B, ...) on byte-identical shared input, medians reported.
+every ref runs from its own clean worktree, legs strictly interleaved
+(A, B, C, A, B, C, ...) on byte-identical shared input, medians reported.
 
-    python scripts/ab_interleave.py --a c7a2a48 --b 4a6ce39 \
+    python scripts/ab_interleave.py --refs c7a2a48 4a6ce39 HEAD \
         --runs 3 --cpus 4 --repl 256
 
-Prints one JSON line: per-leg raw pipeline seconds + turns/sec, medians,
-and the B/A throughput ratio.
+Prints one JSON line: per-ref raw pipeline seconds + turns/sec, medians,
+and each ref's throughput ratio vs the first ref.
 """
 
 from __future__ import annotations
@@ -27,11 +27,15 @@ from run_scaling import prepare_replica  # noqa: E402
 
 
 def worktree(ref: str) -> str:
-    path = os.path.join(ROOT, ".ab", ref)
+    sha = subprocess.run(
+        ["git", "-C", ROOT, "rev-parse", ref],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    path = os.path.join(ROOT, ".ab", sha[:12])
     if not os.path.isdir(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         subprocess.run(
-            ["git", "-C", ROOT, "worktree", "add", "--detach", path, ref],
+            ["git", "-C", ROOT, "worktree", "add", "--detach", path, sha],
             check=True, capture_output=True,
         )
     return path
@@ -55,42 +59,46 @@ def run_leg(tree: str, cpus: int, sf_dir: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--a", required=True, help="baseline ref (e.g. r2 tip)")
-    ap.add_argument("--b", required=True, help="candidate ref (e.g. r3 tip)")
+    ap.add_argument("--refs", nargs="+", required=True,
+                    help="git refs, first is the comparison baseline")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=4)
     ap.add_argument("--repl", type=int, default=256)
     args = ap.parse_args()
 
     sf = prepare_replica(args.repl)
-    ta, tb = worktree(args.a), worktree(args.b)
-    legs_a, legs_b = [], []
+    trees = {r: worktree(r) for r in args.refs}
+    legs: dict[str, list] = {r: [] for r in args.refs}
     for i in range(args.runs):
-        print(f"run {i + 1}/{args.runs} A[{args.a}]...",
-              file=sys.stderr, flush=True)
-        legs_a.append(run_leg(ta, args.cpus, sf))
-        print(f"run {i + 1}/{args.runs} B[{args.b}]...",
-              file=sys.stderr, flush=True)
-        legs_b.append(run_leg(tb, args.cpus, sf))
+        for r in args.refs:
+            print(f"run {i + 1}/{args.runs} [{r}]...",
+                  file=sys.stderr, flush=True)
+            legs[r].append(run_leg(trees[r], args.cpus, sf))
 
-    med_a = statistics.median(d["turns_per_sec"] for d in legs_a)
-    med_b = statistics.median(d["turns_per_sec"] for d in legs_b)
+    meds = {
+        r: statistics.median(d["turns_per_sec"] for d in legs[r])
+        for r in args.refs
+    }
+    base = args.refs[0]
     print(json.dumps({
-        "a_ref": args.a,
-        "b_ref": args.b,
+        "refs": args.refs,
         "repl": args.repl,
         "cpus": args.cpus,
         "runs": args.runs,
-        "turns": legs_a[0]["turns"],
-        "a_pipeline_sec_runs": [d["value"] for d in legs_a],
-        "b_pipeline_sec_runs": [d["value"] for d in legs_b],
-        "a_turns_per_sec_runs": [d["turns_per_sec"] for d in legs_a],
-        "b_turns_per_sec_runs": [d["turns_per_sec"] for d in legs_b],
-        "median_a_turns_per_sec": med_a,
-        "median_b_turns_per_sec": med_b,
-        "b_over_a": round(med_b / med_a, 4),
-        "a_stage_secs": legs_a[-1]["stage_secs"],
-        "b_stage_secs": legs_b[-1]["stage_secs"],
+        "turns": legs[base][0]["turns"],
+        "pipeline_sec_runs": {
+            r: [d["value"] for d in legs[r]] for r in args.refs
+        },
+        "turns_per_sec_runs": {
+            r: [d["turns_per_sec"] for d in legs[r]] for r in args.refs
+        },
+        "median_turns_per_sec": meds,
+        "ratio_vs_first": {
+            r: round(meds[r] / meds[base], 4) for r in args.refs
+        },
+        "stage_secs_last": {
+            r: legs[r][-1]["stage_secs"] for r in args.refs
+        },
     }))
 
 

@@ -141,3 +141,29 @@ def test_corpus_generation_has_no_sort_merge_join(spark):
     plan = _plan(t)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mention_stream_reaches_bucketed_write_without_exchange(spark):
+    """r4 lever: transcripts are bucketed on conv_id at derivation (the
+    window's own shuffle pays for the layout), so the extraction+link
+    chain that feeds the mentions_linked bucketed write must contain NO
+    Exchange at all — r3 shuffled the whole mention stream here via an
+    explicit repartition."""
+    import tempfile
+
+    from guac_spark import extract, link, pipeline
+    from guac_spark.warehouse import Warehouse
+
+    root = tempfile.mkdtemp(prefix="wh_nozshuffle_")
+    pipeline.run_pipeline(spark, SF_SMALL, root)
+    wh = Warehouse(root)
+    t = wh.read(spark, "transcripts")
+    adict = corpus.alias_dict(spark)
+    linked = link.link_exact(
+        extract.extract_mentions_fused(t, engine="sql"), adict
+    )
+    plan = _plan(linked)
+    # the dictionary BroadcastExchange is expected; no shuffle exchange
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
