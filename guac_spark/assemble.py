@@ -109,11 +109,33 @@ def vertices(triples: DataFrame) -> DataFrame:
     """
     from .canonical import parse_qualifiers
 
-    nodes = (
-        triples.select(F.col("subj").alias("canonical"))
-        .unionByName(triples.select(F.col("obj").alias("canonical")))
+    # Split the noun gather by vertex family (disjoint by prefix, so no
+    # final dedup across the union):
+    #   * turn refs (subj always; obj for replies_to) embed their conv_id,
+    #     so distinct on (conv_id, canonical) == distinct on canonical —
+    #     and with the triples snapshot bucketed on conv_id this arm runs
+    #     with ZERO exchange (keys ⊇ conv_id), removing the full-corpus
+    #     shuffle that dominated the r3 vertices stage;
+    #   * entity objs shuffle, but min/distinct partial aggregation
+    #     collapses them map-side to ~|entity universe| rows per
+    #     partition before the exchange.
+    is_turn_obj = F.col("obj").startswith("turn:")
+    turn_refs = (
+        triples.select("conv_id", F.col("subj").alias("canonical"))
+        .unionByName(
+            triples.filter(is_turn_obj).select(
+                "conv_id", F.col("obj").alias("canonical")
+            )
+        )
+        .dropDuplicates(["conv_id", "canonical"])
+        .select("canonical")
+    )
+    ents = (
+        triples.filter(~is_turn_obj)
+        .select(F.col("obj").alias("canonical"))
         .dropDuplicates(["canonical"])
     )
+    nodes = turn_refs.unionByName(ents)
     kind = (
         F.when(F.col("canonical").startswith("turn:"), F.lit("turn"))
         .otherwise(F.regexp_extract("canonical", r"^ent:([a-z]+)/", 1))

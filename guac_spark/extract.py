@@ -86,6 +86,7 @@ def _extract_aka_batch(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
+        pdf = pdf[pdf["text"].str.contains(" aka @", regex=False)]
         found = pdf["text"].str.findall(AKA_RE)
         e = pdf[["conv_id", "turn_idx"]].copy()
         e["pair"] = found
@@ -218,8 +219,14 @@ def _extract_fused_batch(
             outs.append(
                 e[["conv_id", "turn_idx", "kind", "surface", "surface_b"]]
             )
-        aka = pdf["text"].str.findall(AKA_RE)
-        a = pdf[["conv_id", "turn_idx"]].copy()
+        # cheap substring prefilter mirroring the sql engine: most turns
+        # have no aka pattern, and running the two-group regex over every
+        # row measurably regressed the 25.6M-turn pipeline (r4 interleaved
+        # A/B) — contains() is a vectorized memchr, findall backtracks
+        mask = pdf["text"].str.contains(" aka @", regex=False)
+        cand = pdf[mask]
+        aka = cand["text"].str.findall(AKA_RE)
+        a = cand[["conv_id", "turn_idx"]].copy()
         a["kind"] = "aka"
         a["pair"] = aka
         a = a.explode("pair")

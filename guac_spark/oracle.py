@@ -453,6 +453,26 @@ SELECT conv_id, count(*) AS n_turns,
        epoch_us(max(ts)) AS last_ts_us
 FROM transcripts GROUP BY conv_id
 """,
+    # driver-checked windowed streaming: append-mode emission = windows
+    # whose end the watermark passed. The watermark operator sits AFTER
+    # the mention explode, so its max event time is over mention rows;
+    # day windows are epoch-aligned (midnight UTC) in both engines. The
+    # <-vs-<= emission boundary never binds: window ends are midnight-
+    # aligned while max(ts)-2d carries microsecond jitter
+    "q_stream_windows": KG_PRELUDE + f""",
+mrows AS (
+  SELECT ts,
+         unnest(regexp_extract_all(text, '{PERSON_RE}', 1)) AS surface
+  FROM transcripts
+),
+wm AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM mrows)
+SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS win_start_us, surface,
+       count(*) AS n
+FROM mrows
+GROUP BY time_bucket(INTERVAL 1 DAY, ts), surface
+HAVING time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY
+         <= (SELECT w FROM wm)
+""",
     # findSoftware via the materialized ngram index — same result as the
     # scan, so the scan oracle is the gate
     "q_find_software_idx": KG_PRELUDE + """

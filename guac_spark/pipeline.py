@@ -57,19 +57,20 @@ def run_pipeline(
     read back instead of recomputed — a killed run restarts exactly from the
     last committed snapshot with no duplicate work.
 
-    engine='auto' picks the measured-faster extraction engine for the
-    session's parallelism: the pure-JVM 'sql' path at >= 8 cores (no
-    Arrow transfer at all), the Arrow path below (both are semantically
-    identical and parity-tested; 'arrow' remains the north-rule
-    vectorized-UDF reference implementation).
+    engine='auto' picks the pure-JVM 'sql' extraction path at EVERY
+    parallelism: isolated measurement on the 25.6M-turn corpus
+    (scripts/measure_extract.py, local[4]) put sql at 47.9s vs arrow
+    81.5s for the mention scan and 67.3s vs 94.7s fused — the r1 rule
+    ('arrow' below 8 cores) was measured before the fused scan and no
+    longer holds anywhere. Both engines stay semantically identical and
+    parity-tested; 'arrow' remains the north-rule vectorized-UDF
+    reference implementation.
     """
     wh = Warehouse(warehouse_root)
     res = PipelineResult()
     t0 = time.time()
     if engine == "auto":
-        engine = (
-            "sql" if spark.sparkContext.defaultParallelism >= 8 else "arrow"
-        )
+        engine = "sql"
 
     def stage(name: str, build, **write_kw) -> DataFrame:
         if resume and wh.has(name):
@@ -138,8 +139,13 @@ def run_pipeline(
         "cc_mapping", lambda: cc.connected_components(links)
     )
 
+    # the triples dedup runs bucket-local off the mentions_linked layout
+    # and its output keeps that partitioning — writing it bucketed costs
+    # no exchange and lets the vertices turn-ref arm dedup shuffle-free
     triples = stage(
-        "triples", lambda: assemble.triples_final(linked, mapping)
+        "triples",
+        lambda: assemble.triples_final(linked, mapping),
+        bucket_by=(N_BUCKETS, ["conv_id"]),
     )
 
     # vertices and edges both derive from the committed triples snapshot
