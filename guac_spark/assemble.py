@@ -120,16 +120,25 @@ def vertices(triples: DataFrame) -> DataFrame:
     #     collapses them map-side to ~|entity universe| rows per
     #     partition before the exchange.
     is_turn_obj = F.col("obj").startswith("turn:")
+    # one scan for the turn arm: subj and (turn-valued) obj fused via a
+    # null-padded array explode, so the triples table is read twice total
+    # (same as the naive union) while the big dedup stays exchange-free
     turn_refs = (
-        triples.select("conv_id", F.col("subj").alias("canonical"))
-        .unionByName(
-            triples.filter(is_turn_obj).select(
-                "conv_id", F.col("obj").alias("canonical")
-            )
+        triples.select(
+            "conv_id",
+            F.explode(
+                F.array(
+                    F.col("subj"), F.when(is_turn_obj, F.col("obj"))
+                )
+            ).alias("canonical"),
         )
+        .filter(F.col("canonical").isNotNull())
         .dropDuplicates(["conv_id", "canonical"])
         .select("canonical")
     )
+    # entity arm prunes to the obj column alone — the scan reads one
+    # string column, and the distinct collapses map-side to the (tiny)
+    # entity universe per partition before its shuffle
     ents = (
         triples.filter(~is_turn_obj)
         .select(F.col("obj").alias("canonical"))

@@ -57,6 +57,11 @@ def get_spark(
         # heuristic doesn't recognize
         .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
                 "false")
+        # bucket-aligned writes hold one (occasionally two) open bucket
+        # files per task; concurrent writers skip the whole-partition
+        # sort-by-bucket-id the V1 write path otherwise inserts (falls
+        # back to the sort automatically past this many open files)
+        .config("spark.sql.maxConcurrentOutputFileWriters", "8")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
