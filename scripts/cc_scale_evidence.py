@@ -19,12 +19,14 @@ Graph shape (deterministic, seeded by construction not RNG):
   * isolated pairs.
 
 Usage: SPARK_GRAFT_CPUS=32 python scripts/cc_scale_evidence.py \
-           [verify_edges] [scale_edges] [chain_len]
-Prints one JSON line. chain_len (default 16) sets the chain depth; a DEEP
-value (e.g. 4096) produces a long convergence tail whose frontier shrinks
-geometrically, so the later rounds run under the broadcast gate — the
-datapoint NOTES_r3 #3 was missing (the mixed 16-chain graph collapses its
-frontier in one round and never exercises broadcast rounds at scale).
+           [verify_edges] [scale_edges] [chain_len] [tail_chain]
+Prints one JSON line. chain_len (default 16) sets the bulk chain depth;
+tail_chain appends ONE giant chain of that many edges — the bulk
+converges in a few rounds while the giant chain keeps a small frontier
+iterating, so the later rounds run under the broadcast gate (the
+datapoint NOTES_r3 #3 was missing; measured r4: uniform deep chains
+never get there because pointer doubling takes the frontier from
+millions to zero in one step, see BENCH.md §cc).
 """
 
 from __future__ import annotations
@@ -45,11 +47,20 @@ from guac_spark.session import get_spark  # noqa: E402
 CHAIN = 16
 
 
-def synth_edges(spark, n_edges: int, chain_len: int = CHAIN):
-    """Deterministic mixed-shape equivalence graph with n_edges rows."""
+def synth_edges(spark, n_edges: int, chain_len: int = CHAIN,
+                tail_chain: int = 0):
+    """Deterministic mixed-shape equivalence graph with n_edges rows.
+
+    tail_chain > 0 appends ONE chain of that many edges: the bulk graph
+    converges in a few rounds and drops out of the frontier, while the
+    giant chain keeps iterating with a frontier of at most tail_chain
+    nodes — the long-tail convergence shape whose later rounds run under
+    the broadcast gate (NOTES_r3 #3; uniform deep chains never get there
+    because pointer doubling collapses their frontier from millions to
+    zero in one step)."""
     n_star = n_edges // 10
     n_pairs = n_edges // 10
-    n_chain = n_edges - n_star - n_pairs
+    n_chain = n_edges - n_star - n_pairs - tail_chain
     # chains over integer ids: edge (i, i+1) unless i ends a chain
     chain = (
         spark.range(n_chain)
@@ -71,19 +82,29 @@ def synth_edges(spark, n_edges: int, chain_len: int = CHAIN):
         F.format_string("pa%012d", F.col("id")).alias("src"),
         F.format_string("pb%012d", F.col("id")).alias("dst"),
     )
-    return chain.unionByName(star).unionByName(pairs)
+    out = chain.unionByName(star).unionByName(pairs)
+    if tail_chain > 0:
+        giant = spark.range(tail_chain).select(
+            F.format_string("t%012d", F.col("id")).alias("src"),
+            F.format_string("t%012d", F.col("id") + 1).alias("dst"),
+        )
+        out = out.unionByName(giant)
+    return out
 
 
 def main() -> None:
     verify_n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     scale_n = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
     chain_len = int(sys.argv[3]) if len(sys.argv) > 3 else CHAIN
+    tail_chain = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="cc_scale_evidence", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     # (a) identity at verification size
-    ve = synth_edges(spark, verify_n, chain_len).localCheckpoint(eager=True)
+    ve = synth_edges(
+        spark, verify_n, chain_len, tail_chain // 10
+    ).localCheckpoint(eager=True)
     t0 = time.time()
     dist = connected_components(ve, driver_threshold=0, max_iter=40)
     dist_rows = sorted(map(tuple, dist.collect()))
@@ -99,7 +120,9 @@ def main() -> None:
     spark.stop()
     spark = get_spark(app_name="cc_scale_evidence_big", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    se = synth_edges(spark, scale_n, chain_len).localCheckpoint(eager=True)
+    se = synth_edges(
+        spark, scale_n, chain_len, tail_chain
+    ).localCheckpoint(eager=True)
     n_scale = se.count()
     stats: list = []
     t0 = time.time()
@@ -113,6 +136,7 @@ def main() -> None:
         "identical_at_verify_size": identical,
         "verify_edges": verify_n,
         "chain_len": chain_len,
+        "tail_chain": tail_chain,
         "t_distributed_verify_sec": round(t_dist_verify, 1),
         "t_unionfind_sec": round(t_uf, 1),
         "scale_edges": n_scale,
