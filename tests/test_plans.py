@@ -167,3 +167,35 @@ def test_mention_stream_reaches_bucketed_write_without_exchange(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+
+
+def test_vertices_turn_arm_dedups_without_shuffle(spark):
+    """r4 lever: with the triples snapshot bucketed on conv_id, the
+    vertices turn-ref dedup (95% of vertices) must run with no
+    hash-partitioning Exchange — only the (map-side collapsed) entity
+    arm may shuffle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from guac_spark import pipeline
+    from guac_spark.warehouse import Warehouse
+
+    root = tempfile.mkdtemp(prefix="wh_vertplan_")
+    pipeline.run_pipeline(spark, SF_SMALL, root)
+    wh = Warehouse(root)
+    triples = wh.read(spark, "triples")
+    is_turn_obj = F.col("obj").startswith("turn:")
+    turn_arm = (
+        triples.select(
+            "conv_id",
+            F.explode(
+                F.array(F.col("subj"), F.when(is_turn_obj, F.col("obj")))
+            ).alias("canonical"),
+        )
+        .filter(F.col("canonical").isNotNull())
+        .dropDuplicates(["conv_id", "canonical"])
+    )
+    plan = _plan(turn_arm)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
