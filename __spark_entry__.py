@@ -42,7 +42,7 @@ def _ctx(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # schema-versioned cache tag: a resumed warehouse from an older
         # engine version (different edge_id formula / edge attrs schema)
         # must never satisfy this round's queries
-        tag = hashlib.sha256(f"v4:{key}".encode()).hexdigest()[:12]
+        tag = hashlib.sha256(f"v5:{key}".encode()).hexdigest()[:12]
         root = os.path.join(
             os.environ.get("GUAC_SPARK_WH", "/tmp/guac_spark_wh"), tag
         )
@@ -99,7 +99,28 @@ def _q_cc_mapping(spark, sf):
 
 def _q_triples(spark, sf):
     return _ctx(spark, sf)["triples"].select(
-        "conv_id", "turn_idx", "subj", "pred", "obj"
+        "conv_id", "turn_idx", "subj", "pred", "obj", "span"
+    )
+
+
+def _q_alias_dict(spark, sf):
+    """The corpus-proportional linking dictionary (derived engine data) —
+    pins that Spark and the oracle grow the identical entity universe."""
+    return _ctx(spark, sf)["alias_dict"].select(
+        "alias", "entity_id", "kind", "prior"
+    )
+
+
+def _q_edge_span(spark, sf):
+    """Extraction-path typed attrs (VERDICT r4 missing #3): edges whose
+    parse-time span field says the mention marker OPENS the turn text,
+    filtered through graph.filter_edges_spec attrs subset-matching."""
+    fe = graph.filter_edges_spec(
+        _ctx(spark, sf)["edges"], attrs_subset={"span": "1"}
+    )
+    return fe.select(
+        "edge_id", "src", "dst", "pred", "origin", "document_ref",
+        F.col("attrs")["span"].cast("int").alias("span"),
     )
 
 
@@ -417,7 +438,9 @@ def _q_sessionize(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q_transcripts": _q_transcripts,
+        "q_alias_dict": _q_alias_dict,
         "q_mentions": _q_mentions,
+        "q_edge_span": _q_edge_span,
         "q_linked_mentions": _q_linked_mentions,
         "q_equivalences": _q_equivalences,
         "q_cc_mapping": _q_cc_mapping,

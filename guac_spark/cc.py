@@ -263,15 +263,21 @@ def connected_components(
 
 
 def apply_mapping(
-    df: DataFrame, mapping: DataFrame, cols: list[str]
+    df: DataFrame, mapping: DataFrame, cols: list[str],
+    broadcast: bool = True,
 ) -> DataFrame:
     """Rewrite id columns through the component mapping (identity on miss).
 
-    The mapping (distinct entities) is orders of magnitude smaller than the
-    triple stream — broadcast it so the rewrite never shuffles the stream.
+    The mapping (distinct entities in some equivalence) is orders of
+    magnitude smaller than the triple stream — broadcast it so the rewrite
+    never shuffles the stream. With a corpus-proportional entity universe
+    the mapping grows ~linearly with the corpus; past the broadcast budget
+    the caller passes broadcast=False and the rewrite becomes a shuffle
+    join on the (uniform, hash-distributed) entity id instead — the
+    pipeline gates on the committed cc_mapping row count.
     """
     out = df
-    m = F.broadcast(mapping)
+    m = F.broadcast(mapping) if broadcast else mapping
     for c in cols:
         out = (
             out.join(

@@ -1,4 +1,4 @@
-"""Deterministic transcript corpus + entity alias dictionary.
+"""Deterministic transcript corpus + corpus-proportional entity universe.
 
 The driver's testdata has no transcripts table, so the engine ships a
 deterministic derivation of one from the `events` parquet: every transform is
@@ -18,10 +18,29 @@ Mention grammar embedded in `text` (our analog of SBOM/attestation syntax):
     >><k>           reply reference         -> (turn, replies_to, turn:*)
     @a aka @b       alias equivalence       -> (resolve(a), same_as, resolve(b))
 
+ENTITY UNIVERSE SCALES WITH THE CORPUS (VERDICT r4 missing #1): GUAC's
+identity problem grows with its corpus — every new SBOM brings new purls
+(/root/reference/pkg/assembler/helpers/purl.go:37-44 runs per document), so
+a transcript corpus 256x larger must carry ~256x more distinct entities
+through linking/LSH/CC, not a fixed 25-person cast. The person universe is
+
+    np = greatest(25, floor(n_events / 50))     (PERSON_DIV)
+    nt = greatest(20, floor(n_events / 250))    (TOPIC_DIV)
+
+pids 0-24 are the literal PERSONS head (pid 0 stays the celebrity hot key);
+pids >= 25 get deterministic pseudorandom names derived from
+sha256(pid) — 12 chars over the 16-letter alphabet {a-f, q-z} (digits
+translate to q-z). The alphabet deliberately excludes 'l'/'o', so a
+generated name can never collide with a literal head alias or satisfy the
+'%lovel%' find-software probes. Both engines compute the identical
+formula (Spark renders literal np/nt after one count; the oracle computes
+them in a u_params CTE), so the universes are byte-identical.
+
 The alias dictionary is engine data (the analog of GUAC's pURL known-types
-table, /root/reference/pkg/assembler/helpers/purl.go:162-172): a literal
-constant consumed by Spark as a broadcast DataFrame and inlined by the
-oracle as a VALUES clause — one source of truth, zero drift.
+table, /root/reference/pkg/assembler/helpers/purl.go:162-172) — now DERIVED
+(head literals + generated arm) rather than a fixed literal, consumed by
+Spark as a broadcast DataFrame and by the oracle as the same SQL chain —
+one source of truth (shared templates below), zero drift.
 
 Skew by construction: every `purchase` turn mentions the celebrity entity
 @ada-lovelace (hot join/agg key); conversations are user-bucketed so user
@@ -31,14 +50,22 @@ Near-duplicate tail by construction (exercises MinHash-LSH linking):
 `signup` turns mention <alias>+<last-char> (edit distance 1) and `error`
 turns mention <alias>+<last-char>*2 (edit distance 2); neither variant is in
 the dictionary, so they only link via LSH blocking + n-gram Jaccard, and via
-the explicit `aka` same_as edges — both paths must converge in CC.
+the explicit `aka` same_as edges — both paths must converge in CC. With the
+grown universe both tails now scale ~linearly with the corpus.
+
+Set GUAC_SPARK_UNIVERSE=fixed to pin np=25/nt=20 (the r1-r4 corpus,
+byte-identical) — used only for apples-to-apples A/B legs against older
+rounds; the driver contract always runs the grown universe.
 """
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
-# --- entity inventory (literal engine data; single source of truth) -------
+# --- entity inventory (literal head; single source of truth) ---------------
 
 PERSONS: list[str] = [
     "ada-lovelace",        # pid 0 — the celebrity hot key
@@ -68,10 +95,26 @@ PERSONS: list[str] = [
     "graydon-hoare",
 ]
 
-N_TOPICS = 20
+N_TOPICS = 20                  # topic-universe floor
 TOOLS = ["tool_purchase", "tool_error"]
 
 CELEBRITY = PERSONS[0]
+HEAD = len(PERSONS)            # 25 literal head pids
+
+PERSON_DIV = 50                # one generated person per 50 turns
+TOPIC_DIV = 250                # one generated topic per 250 turns
+
+
+def universe(n_events: int) -> tuple[int, int]:
+    """(np, nt) for a corpus of n_events turns — the Python rendering of
+    the exact formula the oracle computes in SQL (u_params CTE)."""
+    if os.environ.get("GUAC_SPARK_UNIVERSE") == "fixed":
+        return HEAD, N_TOPICS
+    return (
+        max(HEAD, math.floor(n_events / float(PERSON_DIV))),
+        max(N_TOPICS, math.floor(n_events / float(TOPIC_DIV))),
+    )
+
 
 # roles per event_type (closed mapping, analog of GUAC's DocumentType guess,
 # /root/reference/pkg/handler/processor/guesser/guesser.go:25)
@@ -80,16 +123,86 @@ ROLE_CASE = (
     "WHEN 'signup' THEN 'system' ELSE 'tool' END"
 )
 
+# sha256-hex is the one dialect split: Spark sha2(x, 256) vs DuckDB
+# sha256(x) — identical lowercase hex output (verified by pytest parity)
+_SHA_HEX = {"spark": "sha2({x}, 256)", "duckdb": "sha256({x})"}
+
+
+def gen_alias_expr(pid_expr: str, dialect: str) -> str:
+    """Deterministic pseudorandom alias for a generated pid: 12 chars over
+    {a-f, q-z} (no 'l'/'o' — can't collide with head aliases or the
+    '%lovel%' probes); identical in both engines."""
+    sha = _SHA_HEX[dialect].format(x=f"cast({pid_expr} AS STRING)")
+    return (
+        f"translate(substr({sha}, 1, 12), '0123456789', 'qrstuvwxyz')"
+    )
+
+
+def gen_pid_sql(np_expr: str) -> str:
+    """Generated-pid relation: the residues mod np actually present in the
+    corpus (shared dialect — both engines derive it from `events`, so the
+    universes agree even for sparse event_id spaces)."""
+    return (
+        f"SELECT DISTINCT event_id % {np_expr} AS pid FROM events "
+        f"WHERE event_id % {np_expr} >= {HEAD}"
+    )
+
+
+def alias_full_sql(np_expr: str, dialect: str) -> str:
+    """pid -> alias over the full universe: literal head + generated arm.
+    References relations `alias_base` and `events`."""
+    return f"""
+SELECT pid, alias FROM alias_base
+UNION ALL
+SELECT pid, {gen_alias_expr('pid', dialect)} AS alias
+FROM ({gen_pid_sql(np_expr)}) gp
+""".strip()
+
+
+def topic_k_sql(nt_expr: str) -> str:
+    return f"cast(cast(floor(value) AS INT) % {nt_expr} AS STRING)"
+
+
+def alias_dict_sql(np_expr: str, nt_expr: str, dialect: str) -> str:
+    """alias -> entity_id linking dictionary, derived (FIXTURES.md §2).
+
+    Head + generated person aliases, the topic universe actually present
+    in the corpus, and the tool literals. The near-duplicate tails are
+    deliberately absent and reachable only via LSH (link.py). References
+    `alias_full` (Spark: temp view; oracle: CTE) and `events`.
+    """
+    tools = " UNION ALL ".join(
+        f"SELECT '{t}' AS alias, 'ent:tool/{t}' AS entity_id, "
+        f"'tool' AS kind, 1.0 AS prior" for t in TOOLS
+    )
+    return f"""
+SELECT alias, 'ent:person/' || alias AS entity_id,
+       'person' AS kind, 1.0 AS prior
+FROM alias_full
+UNION ALL
+SELECT DISTINCT 'topic_' || {topic_k_sql(nt_expr)} AS alias,
+       'ent:topic/topic_' || {topic_k_sql(nt_expr)} AS entity_id,
+       'topic' AS kind, 1.0 AS prior
+FROM events WHERE value IS NOT NULL
+UNION ALL
+{tools}
+""".strip()
+
+
 # --- the canonical corpus SQL (common Spark/DuckDB dialect) ----------------
 
-# references two relations: `events` (driver parquet) and
-# `alias_base(pid, alias)` (the PERSONS inventory).
-CORPUS_SQL = f"""
+def corpus_sql(np_expr: str, nt_expr: str) -> str:
+    """Transcript derivation. References `events` and `alias_full`.
+    np_expr/nt_expr: literal ints (Spark) or u_params scalar subqueries
+    (oracle) — same formula, byte-identical output."""
+    return f"""
 WITH ev AS (
   SELECT event_id, ts, user_id, event_type, value,
          'conv-' || lpad(cast(user_id AS STRING), 5, '0') || '-'
                  || cast(event_id % 8 AS STRING) AS conv_id,
-         cast(cast(floor(value) AS INT) % {N_TOPICS} AS STRING) AS topic_k
+         {topic_k_sql(nt_expr)} AS topic_k,
+         event_id % {np_expr} AS pid1,
+         (event_id + 7) % {np_expr} AS pid2
   FROM events
 ),
 numbered AS (
@@ -126,24 +239,39 @@ SELECT /*+ BROADCAST(a1), BROADCAST(a2) */
        THEN 'tool_' || n.event_type END AS tool,
   n.ts
 FROM numbered n
-JOIN alias_base a1 ON a1.pid = n.event_id % {len(PERSONS)}
-JOIN alias_base a2 ON a2.pid = (n.event_id + 7) % {len(PERSONS)}
-"""
+JOIN alias_full a1 ON a1.pid = n.pid1
+JOIN alias_full a2 ON a2.pid = n.pid2
+""".strip()
+
+
+# the oracle's SQL rendering of universe(): MUST match the Python formula
+U_PARAMS_SQL = (
+    f"SELECT greatest({HEAD}, cast(floor(count(*) / {PERSON_DIV}.0) AS INT))"
+    f" AS np, "
+    f"greatest({N_TOPICS}, cast(floor(count(*) / {TOPIC_DIV}.0) AS INT))"
+    f" AS nt FROM events"
+)
+NP_SUB = "(SELECT np FROM u_params)"
+NT_SUB = "(SELECT nt FROM u_params)"
 
 
 def alias_base_values_sql() -> str:
-    """Render the PERSONS inventory as a VALUES relation (DuckDB oracle)."""
+    """Render the PERSONS head as a VALUES relation (DuckDB oracle)."""
     rows = ", ".join(f"({i}, '{a}')" for i, a in enumerate(PERSONS))
     return f"(VALUES {rows}) AS alias_base(pid, alias)"
 
 
 def duckdb_prelude() -> str:
-    """CTE prelude giving DuckDB `alias_base` + `transcripts`."""
+    """CTE prelude giving DuckDB `alias_base`/`u_params`/`alias_full`/
+    `alias_dict`/`transcripts` — the oracle-side universe chain."""
     rows = ", ".join(f"({i}, '{a}')" for i, a in enumerate(PERSONS))
-    body = CORPUS_SQL.strip()
     return (
         f"WITH alias_base(pid, alias) AS (VALUES {rows}),\n"
-        f"transcripts AS (\n{body}\n)"
+        f"u_params AS ({U_PARAMS_SQL}),\n"
+        f"alias_full AS (\n{alias_full_sql(NP_SUB, 'duckdb')}\n),\n"
+        f"alias_dict AS (\n"
+        f"{alias_dict_sql(NP_SUB, NT_SUB, 'duckdb')}\n),\n"
+        f"transcripts AS (\n{corpus_sql(NP_SUB, NT_SUB)}\n)"
     )
 
 
@@ -159,6 +287,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _prepare_universe(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Register `events` + `alias_base` + `alias_full` views for sf_dir and
+    return (np, nt). One count() job sizes the universe; alias_full stays
+    a lazy view (two narrow, column-pruned scans when the corpus join
+    broadcasts it twice — ≪ the derivation window's own cost)."""
+    ev = load_events(spark, sf_dir)
+    ev.createOrReplaceTempView("events")
+    register_alias_base(spark)
+    np_, nt = universe(ev.count())
+    spark.sql(alias_full_sql(str(np_), "spark")).createOrReplaceTempView(
+        "alias_full"
+    )
+    return np_, nt
+
+
 def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic transcripts table for a scale-factor directory.
 
@@ -167,38 +310,15 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale this would be a plain `spark.read.format('iceberg')` of a real
     transcripts table; the derivation is the sandbox stand-in.
     """
-    load_events(spark, sf_dir).createOrReplaceTempView("events")
-    register_alias_base(spark)
-    return spark.sql(CORPUS_SQL)
+    np_, nt = _prepare_universe(spark, sf_dir)
+    return spark.sql(corpus_sql(str(np_), str(nt)))
 
 
-def alias_dict(spark: SparkSession) -> DataFrame:
-    """Entity-linking dictionary (FIXTURES.md §2): alias -> entity_id.
-
-    Head aliases only — the near-duplicate tail is deliberately absent and
-    reachable only via LSH (link.py). Analog of pURL determinism:
-    same alias => same node (/root/reference/pkg/assembler/helpers/purl.go).
-    """
-    rows = [(a, f"ent:person/{a}", "person", 1.0) for a in PERSONS]
-    rows += [
-        (f"topic_{k}", f"ent:topic/topic_{k}", "topic", 1.0)
-        for k in range(N_TOPICS)
-    ]
-    rows += [(t, f"ent:tool/{t}", "tool", 1.0) for t in TOOLS]
-    return spark.createDataFrame(
-        rows, "alias string, entity_id string, kind string, prior double"
-    )
-
-
-def alias_dict_values_sql() -> str:
-    """Same dictionary as a VALUES relation for the DuckDB oracle."""
-    rows = [(a, f"ent:person/{a}", "person", 1.0) for a in PERSONS]
-    rows += [
-        (f"topic_{k}", f"ent:topic/topic_{k}", "topic", 1.0)
-        for k in range(N_TOPICS)
-    ]
-    rows += [(t, f"ent:tool/{t}", "tool", 1.0) for t in TOOLS]
-    rendered = ", ".join(
-        f"('{al}', '{e}', '{k}', {p})" for al, e, k, p in rows
-    )
-    return f"(VALUES {rendered}) AS alias_dict(alias, entity_id, kind, prior)"
+def alias_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-linking dictionary: alias -> entity_id over the FULL (grown)
+    universe. Head + generated aliases only — the near-duplicate tail is
+    deliberately absent and reachable only via LSH (link.py). Analog of
+    pURL determinism: same alias => same node
+    (/root/reference/pkg/assembler/helpers/purl.go)."""
+    np_, nt = _prepare_universe(spark, sf_dir)
+    return spark.sql(alias_dict_sql(str(np_), str(nt), "spark"))

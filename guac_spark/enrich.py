@@ -45,10 +45,26 @@ JUSTIFICATION = "reputation-sha2"
 def edges_with_evidence(spark: SparkSession, wh: Warehouse) -> DataFrame:
     """Read-time union of extraction edges + enrichment evidence — the
     full graph a query sees. No shuffle: both sides are already
-    edge_id-deduplicated and disjoint by origin."""
+    edge_id-deduplicated and disjoint by origin.
+
+    Tolerates pre-attrs edge snapshots (ADVICE r4): a table written before
+    the typed-attrs column existed unions with allowMissingColumns and the
+    missing attrs fill as the empty map, instead of throwing
+    AnalysisException mid-read. (run_pipeline's schema-version gate refuses
+    cross-version RESUME outright; this guard covers direct library reads
+    of an old warehouse.)"""
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
     edges = wh.read(spark, "edges")
     if wh.has(EVIDENCE_TABLE):
-        edges = edges.unionByName(wh.read(spark, EVIDENCE_TABLE))
+        edges = edges.unionByName(
+            wh.read(spark, EVIDENCE_TABLE), allowMissingColumns=True
+        )
+        if "attrs" in edges.columns:
+            edges = edges.withColumn(
+                "attrs", F.coalesce(F.col("attrs"), empty)
+            )
     return edges
 
 

@@ -37,8 +37,18 @@ from pyspark.sql import functions as F
 # --- deterministic MinHash parameters (frozen for P/R reproducibility,
 #     the analog of GUAC's fixed FNV node keys,
 #     /root/reference/pkg/assembler/backends/keyvalue/backend.go:375-388) ---
+# 8 bands x 4 rows (r1-r4: 16x2). Per-band collision probability is J^rows,
+# so 2-row bands admitted ~J^2 false candidates — at the r4 universe (~80
+# tail surfaces) that was noise, but with a corpus-proportional universe
+# (~1M distinct tail surfaces x ~0.5M dictionary aliases) J≈0.01 random
+# pairs at J^2*16 ≈ 0.2% meant millions of junk Jaccard evaluations. 4-row
+# bands push random-pair collisions to ~J^4*8 ≈ 1e-7 while the
+# deterministic prefix+suffix blocks (below) carry the recall guarantee
+# for the edit-tails; banding is free to change — the oracle's ground
+# truth is exact Jaccard, and recall is pinned by the independent
+# pure-Python test (tests/test_link.py).
 N_HASHES = 32
-N_BANDS = 16  # 2 rows per band
+N_BANDS = 8  # 4 rows per band
 _PRIME = 2_147_483_647
 _rng = np.random.RandomState(42)
 _A = _rng.randint(1, _PRIME, size=N_HASHES).astype(np.int64)
@@ -213,36 +223,55 @@ def _minhash_bands(df: DataFrame, col: str) -> DataFrame:
 def lsh_candidate_pairs(
     unmatched: DataFrame, dict_aliases: DataFrame
 ) -> DataFrame:
-    """Candidate (surface, alias) pairs via MinHash-LSH banding plus a
-    deterministic prefix block (first 2 chars + coarse length bucket).
+    """Candidate (surface, alias) pairs via MinHash-LSH banding plus
+    deterministic prefix-4 AND suffix-4 blocks (each with a coarse length
+    bucket).
+
+    The deterministic blocks are the recall GUARANTEE, sized for a
+    corpus-proportional universe: any pair whose edits avoid the first 4
+    chars shares the prefix block, any pair whose edits avoid the last 4
+    shares the suffix block — a single contiguous edit (append, prefix
+    change, one substitution on a >=8-char string) is always caught by at
+    least one. 4-char keys keep blocks ~|universe|/alphabet^3 small, so
+    candidate volume stays ~O(universe), not O(universe^2) as the 2-char
+    prefix block became once the dictionary grew with the corpus.
+    MinHash banding covers the residue (multi-edit high-Jaccard pairs).
 
     Both inputs are distinct single-column DataFrames: unmatched('surface'),
     dict_aliases('alias').
     """
+    # no forced broadcast: the dictionary side GROWS with the corpus now,
+    # so the join strategy is left to Catalyst/AQE — tiny dicts still
+    # broadcast under the session threshold, corpus-proportional ones
+    # hash-join on the (uniform) band/block keys
     sb = _minhash_bands(unmatched, "surface")
     ab = _minhash_bands(dict_aliases, "alias")
     lsh = (
-        sb.join(F.broadcast(ab), on=["band", "band_key"])
+        sb.join(ab, on=["band", "band_key"])
         .select("surface", "alias")
         .distinct()
     )
-    # prefix block: recall backstop for short strings / unlucky banding
-    pb_s = unmatched.select(
-        "surface",
-        F.substring("surface", 1, 2).alias("pfx"),
-        (F.length("surface") / 4).cast("int").alias("lb"),
-    )
-    pb_a = dict_aliases.select(
-        "alias",
-        F.substring("alias", 1, 2).alias("pfx"),
-        (F.length("alias") / 4).cast("int").alias("lb"),
-    )
-    pfx = (
-        pb_s.join(F.broadcast(pb_a), on=["pfx"])
-        .filter(F.abs(pb_s["lb"] - pb_a["lb"]) <= 1)
-        .select("surface", "alias")
-    )
-    return lsh.unionByName(pfx).distinct()
+
+    def _blocked(k_expr) -> DataFrame:
+        pb_s = unmatched.select(
+            "surface",
+            k_expr("surface").alias("blk"),
+            (F.length("surface") / 4).cast("int").alias("lb"),
+        )
+        pb_a = dict_aliases.select(
+            "alias",
+            k_expr("alias").alias("blk"),
+            (F.length("alias") / 4).cast("int").alias("lb"),
+        )
+        return (
+            pb_s.join(pb_a, on=["blk"])
+            .filter(F.abs(pb_s["lb"] - pb_a["lb"]) <= 1)
+            .select("surface", "alias")
+        )
+
+    pfx = _blocked(lambda c: F.substring(c, 1, 4))
+    sfx = _blocked(lambda c: F.substring(c, -4, 4))
+    return lsh.unionByName(pfx).unionByName(sfx).distinct()
 
 
 def link_tail(
@@ -277,7 +306,7 @@ def link_tail(
         .agg(F.min("alias").alias("alias"))
     )
     return (
-        w_best.join(F.broadcast(persons), on="alias")
+        w_best.join(persons, on="alias")
         .select(
             F.concat(F.lit("ent:unk/"), F.col("surface")).alias("src"),
             F.col("entity_id").alias("dst"),

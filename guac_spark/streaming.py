@@ -43,12 +43,19 @@ def incremental_extract(
     out_root: str,
     alias_dict: DataFrame,
     engine: str = "arrow",
+    _crash_after: int | None = None,
 ) -> int:
     """Drain new transcript files -> linked mentions appended to out_root.
 
     Returns the number of micro-batches processed this invocation (0 when
     everything was already acknowledged). Safe to call repeatedly; the
     checkpoint under out_root/_checkpoint is the exactly-once ledger.
+
+    _crash_after=N is FAULT INJECTION for the kill-mid-drain resume test
+    (VERDICT r5 order #5): the query dies after the Nth micro-batch's sink
+    WRITE but before its checkpoint ack — the worst-case crash window. On
+    restart the unacked batch replays and dynamic partition overwrite
+    rewrites its own partition, so the sink stays exactly-once.
     """
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
@@ -76,6 +83,8 @@ def incremental_extract(
             .parquet(out_path)
         )
         n_batches["n"] += 1
+        if _crash_after is not None and n_batches["n"] >= _crash_after:
+            raise RuntimeError("injected crash: written but not acked")
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -25,6 +25,7 @@ import os
 import shutil
 import tempfile
 import time
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,15 +43,36 @@ class Warehouse:
         os.makedirs(root, exist_ok=True)
         self._log_path = os.path.join(root, "_commits.json")
         # commit-log read-modify-write guard: independent stages (e.g.
-        # vertices + edges) commit concurrently from writer threads
+        # vertices + edges) commit concurrently from writer threads.
+        # CROSS-PROCESS writers are serialized by an fcntl.flock on a
+        # sidecar lockfile (ADVICE r4): reservation and commit both run
+        # under both locks, so two processes can no longer reserve the
+        # same snap id and rmtree each other's written-but-uncommitted
+        # snapshot directory. (On a real cluster this is the catalog's
+        # atomic-swap / Iceberg optimistic-commit loop.)
         import threading
 
         self._log_lock = threading.Lock()
-        # snapshot ids are RESERVED under the lock (ADVICE r2): two
-        # concurrent writers on the SAME table get distinct snap dirs
-        # instead of computing the same id and rmtree-ing each other's
-        # in-flight directory. Per-process, like the lock itself.
+        self._flock_path = os.path.join(root, "_commits.lock")
+        # snapshot ids are RESERVED under the locks (ADVICE r2) and
+        # persisted in the commit log's "reserved" counters so the
+        # reservation is visible across processes.
         self._reserved: dict[str, int] = {}
+
+    @contextmanager
+    def _locked(self):
+        """threading lock + advisory file lock around every commit-log
+        read-modify-write: atomic against sibling threads AND sibling
+        processes on the same host/NFS-with-flock."""
+        import fcntl
+
+        with self._log_lock:
+            with open(self._flock_path, "a+") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
 
     # --- commit log -------------------------------------------------------
     def _read_log(self) -> dict[str, Any]:
@@ -157,10 +179,23 @@ class Warehouse:
         atomic log replace (the multi-table-transaction analog a
         two-table loop like enrichment needs for crash safety)."""
         t0 = time.time()
-        with self._log_lock:
-            prev = self.committed_snapshot(table)
-            snap = max(prev or 0, self._reserved.get(table, 0)) + 1
+        with self._locked():
+            log = self._read_log()
+            prev_entry = log["tables"].get(table)
+            prev = prev_entry["snapshot_id"] if prev_entry else 0
+            log_reserved = log.get("reserved", {})
+            snap = max(
+                prev,
+                self._reserved.get(table, 0),
+                log_reserved.get(table, 0),
+            ) + 1
             self._reserved[table] = snap
+            # persist the reservation so a SECOND PROCESS cannot hand out
+            # the same snap id and rmtree this writer's in-flight
+            # directory before it commits (ADVICE r4)
+            log_reserved[table] = snap
+            log["reserved"] = log_reserved
+            self._write_log(log)
         path = self.table_path(table, snap)
         if os.path.exists(path):
             shutil.rmtree(path)  # leftover from a killed run — never committed
@@ -172,12 +207,18 @@ class Warehouse:
             tag = hashlib.sha256(self.root.encode()).hexdigest()[:8]
             catalog_table = f"wh_{tag}_{table}_snap_{snap}".replace("-", "_")
             df.sparkSession.sql(f"DROP TABLE IF EXISTS {catalog_table}")
-            (
+            writer = (
                 df.write.mode("overwrite").format("parquet")
                 .option("path", path)
-                .bucketBy(n_buckets, *cols)
-                .saveAsTable(catalog_table)
             )
+            # partitionBy COMPOSES with bucketBy (Hive layout:
+            # <part>=<val>/bucket files) — consumers filtering on the
+            # partition column prune whole directories while bucket-local
+            # aggs still skip their shuffle (the Iceberg
+            # partition-spec + bucket-transform analog)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.bucketBy(n_buckets, *cols).saveAsTable(catalog_table)
         else:
             writer = df.write.mode("overwrite")
             if partition_by:
@@ -211,8 +252,9 @@ class Warehouse:
         """Make one or more prepared writes visible in a single atomic
         commit-log replace — a crash before this point leaves every
         involved table at its prior snapshot (orphan snap dirs are
-        reclaimed by the next writer's rmtree)."""
-        with self._log_lock:
+        reclaimed by the next writer's rmtree once their reservation
+        expires from the log)."""
+        with self._locked():
             log = self._read_log()
             # apply per-table in snapshot order, and never regress the
             # committed snapshot_id below an already-referenced snap dir:
@@ -251,6 +293,18 @@ class Warehouse:
                 if p["catalog_table"]:
                     entry["catalog_table"] = p["catalog_table"]
                 log["tables"][table] = entry
+            self._write_log(log)
+
+    # --- warehouse metadata (engine schema version etc.) ------------------
+    def get_meta(self, key: str) -> Any:
+        return self._read_log().get("meta", {}).get(key)
+
+    def set_meta(self, key: str, value: Any) -> None:
+        with self._locked():
+            log = self._read_log()
+            meta = log.get("meta", {})
+            meta[key] = value
+            log["meta"] = meta
             self._write_log(log)
 
     def committed_rows(self, table: str) -> int | None:
@@ -358,7 +412,7 @@ class Warehouse:
         merged = self.read_merged(spark, table, key_cols)
         snap = self.write_snapshot(merged, table, stage="compact")
         ut = f"{table}__upserts"
-        with self._log_lock:
+        with self._locked():
             log = self._read_log()
             log["tables"].pop(ut, None)
             self._write_log(log)

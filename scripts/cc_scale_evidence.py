@@ -61,6 +61,15 @@ def synth_edges(spark, n_edges: int, chain_len: int = CHAIN,
     n_star = n_edges // 10
     n_pairs = n_edges // 10
     n_chain = n_edges - n_star - n_pairs - tail_chain
+    # a tail chain approaching n_edges would silently empty the bulk-chain
+    # arm (spark.range(negative) = no rows) and skew the synthetic mix the
+    # scale evidence is built on — fail loudly instead (ADVICE r4)
+    if n_chain < 0:
+        raise ValueError(
+            f"tail_chain={tail_chain} exceeds the edge budget: need "
+            f"tail_chain <= n_edges - n_star - n_pairs = "
+            f"{n_edges - n_star - n_pairs}"
+        )
     # chains over integer ids: edge (i, i+1) unless i ends a chain
     chain = (
         spark.range(n_chain)

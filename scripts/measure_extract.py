@@ -33,7 +33,7 @@ def main() -> None:
     spark = get_spark(app_name="measure_extract", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     t = corpus.transcripts(spark, sf_dir)
-    adict = corpus.alias_dict(spark)
+    adict = corpus.alias_dict(spark, sf_dir)
 
     shapes = {
         "mentions_arrow": lambda: extract.extract_mentions(t, "arrow"),

@@ -34,10 +34,10 @@ def test_attrs_enter_edge_identity(spark):
     assert len(set(ids)) == 3
 
 
-def test_extraction_edges_carry_empty_attrs_and_stable_ids(spark):
-    """Pipeline edges carry the attrs column (empty map: provenance-only
-    verbs), and the empty canonical rendering is the hash's sixth
-    segment — pinned against the oracle formula (trailing '|')."""
+def test_extraction_edges_carry_span_attr_and_stable_ids(spark):
+    """Pipeline edges carry the parse-time typed attr {'span'} (VERDICT r4
+    missing #3), and its canonical rendering 'span=<n>' is the hash's
+    sixth segment — pinned against the oracle formula."""
     import hashlib
 
     root = tempfile.mkdtemp(prefix="wh_eattr_")
@@ -45,12 +45,14 @@ def test_extraction_edges_carry_empty_attrs_and_stable_ids(spark):
     wh = Warehouse(root)
     e = wh.read(spark, "edges")
     assert "attrs" in e.columns
-    assert e.filter(F.size("attrs") != 0).count() == 0
+    # every extraction verb has exactly the span attr, a positive position
+    assert e.filter(F.size("attrs") != 1).count() == 0
+    assert e.filter(F.col("attrs")["span"].cast("int") < 1).count() == 0
     r = e.first()
     want = hashlib.sha256(
         "|".join(
             [r["src"], r["pred"], r["dst"], r["origin"], r["document_ref"],
-             ""]
+             f"span={r['attrs']['span']}"]
         ).encode()
     ).hexdigest()
     assert r["edge_id"] == want
@@ -101,9 +103,27 @@ def test_filter_edges_spec_attrs_subset_and_empty(spark):
     assert graph.filter_edges_spec(
         full, attrs_subset={"collector": "nobody"}
     ).count() == 0
-    # matchOnlyEmpty selects exactly the provenance-only extraction verbs
+    # every edge now carries typed attrs (extraction: span; evidence:
+    # score/collector/justification) — matchOnlyEmpty selects nothing
     assert graph.filter_edges_spec(
         full, match_only_empty_attrs=True
+    ).count() == 0
+    # extraction edges are selectable by their parse-time attr instead
+    assert graph.filter_edges_spec(
+        full, attrs_subset={"span": "1"}
+    ).count() > 0
+    # matchOnlyEmpty still selects genuinely attrs-empty verbs
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    mixed = full.withColumn(
+        "attrs",
+        F.when(F.col("origin") == "enricher", F.col("attrs")).otherwise(
+            empty_map
+        ),
+    )
+    assert graph.filter_edges_spec(
+        mixed, match_only_empty_attrs=True
     ).count() == n_total - n_evidence
     # attrs-less relations: subset never matches, empty matches all
     bare = full.select("edge_id", "src", "dst", "pred", "origin",

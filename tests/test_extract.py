@@ -105,7 +105,11 @@ def test_fused_extraction_matches_separate(spark):
         eng: extract.extract_mentions_fused(t, engine=eng)
         for eng in ("arrow", "sql")
     }
-    want_m = _multiset(extract.extract_mentions(t))
+    want_m = _multiset(
+        extract.extract_mentions(t).select(
+            "conv_id", "turn_idx", "kind", "surface", "span"
+        )
+    )
     want_a = _multiset(
         extract.extract_aka_pairs(t).select(
             "conv_id", "turn_idx", "surface_a", "surface_b"
@@ -114,7 +118,7 @@ def test_fused_extraction_matches_separate(spark):
     for eng, f in fused.items():
         got_m = _multiset(
             f.filter(F.col("kind") != "aka").select(
-                "conv_id", "turn_idx", "kind", "surface"
+                "conv_id", "turn_idx", "kind", "surface", "span"
             )
         )
         assert got_m == want_m, eng

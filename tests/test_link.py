@@ -23,7 +23,7 @@ def test_variant_links_are_exactly_ground_truth(spark):
     """LSH+prefix blocking must recover exactly: variant -> source alias
     (argmax 3-gram Jaccard >= 0.5), nothing more, nothing less."""
     t = corpus.transcripts(spark, SF_SMALL)
-    adict = corpus.alias_dict(spark)
+    adict = corpus.alias_dict(spark, SF_SMALL)
     mentions = extract.extract_mentions(t)
     linked = link.link_exact(mentions, adict)
     unmatched = link.unmatched_surfaces(linked)
@@ -61,7 +61,7 @@ def test_celebrity_head_link_is_broadcast(spark):
     """The head-linking join must be a broadcast hash join (no shuffle of
     the mention stream) — the plan-shape contract for 100 TB."""
     t = corpus.transcripts(spark, SF_SMALL)
-    adict = corpus.alias_dict(spark)
+    adict = corpus.alias_dict(spark, SF_SMALL)
     linked = link.link_exact(extract.extract_mentions(t), adict)
     plan = linked._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan

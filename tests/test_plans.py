@@ -158,7 +158,10 @@ def test_mention_stream_reaches_bucketed_write_without_exchange(spark):
     pipeline.run_pipeline(spark, SF_SMALL, root)
     wh = Warehouse(root)
     t = wh.read(spark, "transcripts")
-    adict = corpus.alias_dict(spark)
+    # the dict is read from its committed snapshot exactly as the pipeline
+    # does — deriving it inline would drag the derivation's own (tiny,
+    # broadcast-side) distinct exchanges into this plan
+    adict = wh.read(spark, "alias_dict")
     linked = link.link_exact(
         extract.extract_mentions_fused(t, engine="sql"), adict
     )
@@ -167,6 +170,42 @@ def test_mention_stream_reaches_bucketed_write_without_exchange(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+
+
+def test_kind_partition_prunes_both_consumers(spark):
+    """r5 lever (NOTES_r4 #5): mentions_linked is partitioned by `kind` on
+    top of the conv_id bucketing. The equivalences consumer must prune its
+    scan to the kind=aka directory, and the triples consumer must prune
+    the aka directory away — both while keeping the bucketed scan (no
+    hashpartitioning Exchange)."""
+    import tempfile
+
+    from guac_spark import assemble, pipeline
+    from guac_spark.warehouse import Warehouse
+
+    root = tempfile.mkdtemp(prefix="wh_kindpart_")
+    pipeline.run_pipeline(spark, SF_SMALL, root)
+    wh = Warehouse(root)
+    linked = wh.read(spark, "mentions_linked")
+
+    aka_plan = _plan(linked.filter(F.col("kind") == "aka"))
+    aka_scan = [
+        ln for ln in aka_plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert aka_scan and "kind=aka" in aka_scan[0]
+    assert "SelectedBucketsCount" in aka_plan or "Bucketed: true" in aka_plan
+
+    tr_plan = _plan(
+        assemble.triples_final(linked, wh.read(spark, "cc_mapping"))
+    )
+    tr_scan = [
+        ln
+        for ln in tr_plan.splitlines()
+        if "PartitionFilters" in ln and "mentions_linked" in ln
+    ]
+    assert tr_scan and "NOT (kind" in tr_scan[0]
+    assert "kind=aka" not in tr_scan[0]
+    assert "Exchange hashpartitioning" not in tr_plan
 
 
 def test_vertices_turn_arm_dedups_without_shuffle(spark):

@@ -58,7 +58,7 @@ def test_lineage_metrics_complete(spark):
     wh = Warehouse(wh_root)
     m = wh.metrics(spark)
     stages = {r["stage"] for r in m.select("stage").distinct().collect()}
-    assert stages == set(res.tables.keys()) - {"alias_dict"}
+    assert stages == set(res.tables.keys())
     # per-partition counters must sum to the committed table row counts
     # (mentions_linked included: bucketed snapshots keep full lineage)
     for t in ["transcripts", "mentions_linked", "triples", "vertices",

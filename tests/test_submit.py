@@ -31,7 +31,7 @@ def test_spark_submit_py_files_builds_and_resumes():
     assert p1.returncode == 0, p1.stderr[-3000:]
     out1 = json.loads(p1.stdout.strip().splitlines()[-1])
     assert out1["triples"] > 0
-    assert len(out1["stages_run"]) == 7
+    assert len(out1["stages_run"]) == 8  # alias_dict stage first
 
     # resubmit with --resume: everything committed, nothing recomputed
     p2 = subprocess.run(
@@ -40,5 +40,5 @@ def test_spark_submit_py_files_builds_and_resumes():
     assert p2.returncode == 0, p2.stderr[-3000:]
     out2 = json.loads(p2.stdout.strip().splitlines()[-1])
     assert out2["stages_run"] == []
-    assert len(out2["stages_skipped"]) == 7
+    assert len(out2["stages_skipped"]) == 8
     assert out2["triples"] == out1["triples"]
