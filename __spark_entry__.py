@@ -114,9 +114,13 @@ def _q_alias_dict(spark, sf):
 def _q_edge_span(spark, sf):
     """Extraction-path typed attrs (VERDICT r4 missing #3): edges whose
     parse-time span field says the mention marker OPENS the turn text,
-    filtered through graph.filter_edges_spec attrs subset-matching."""
+    filtered through graph.filter_edges_spec attrs subset-matching over
+    the boundary-materialized map (assemble.with_attrs)."""
+    from guac_spark import assemble
+
     fe = graph.filter_edges_spec(
-        _ctx(spark, sf)["edges"], attrs_subset={"span": "1"}
+        assemble.with_attrs(_ctx(spark, sf)["edges"]),
+        attrs_subset={"span": "1"},
     )
     return fe.select(
         "edge_id", "src", "dst", "pred", "origin", "document_ref",

@@ -296,9 +296,18 @@ def _prepare_universe(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     ev.createOrReplaceTempView("events")
     register_alias_base(spark)
     np_, nt = universe(ev.count())
-    spark.sql(alias_full_sql(str(np_), "spark")).createOrReplaceTempView(
-        "alias_full"
-    )
+    if np_ == HEAD:
+        # the generated arm is provably empty (residues < HEAD only) —
+        # skip its events scan entirely; alias_full == alias_base
+        spark.sql(
+            "SELECT pid, alias FROM alias_base"
+        ).createOrReplaceTempView("alias_full")
+        return np_, nt
+    # cache: the corpus join broadcasts alias_full twice (a1/a2) and the
+    # dict derivation reads it again — one derivation pass, not three
+    # (at cluster scale this is the materialized known-identities table)
+    af = spark.sql(alias_full_sql(str(np_), "spark")).cache()
+    af.createOrReplaceTempView("alias_full")
     return np_, nt
 
 

@@ -47,24 +47,24 @@ def edges_with_evidence(spark: SparkSession, wh: Warehouse) -> DataFrame:
     full graph a query sees. No shuffle: both sides are already
     edge_id-deduplicated and disjoint by origin.
 
-    Tolerates pre-attrs edge snapshots (ADVICE r4): a table written before
-    the typed-attrs column existed unions with allowMissingColumns and the
-    missing attrs fill as the empty map, instead of throwing
-    AnalysisException mid-read. (run_pipeline's schema-version gate refuses
-    cross-version RESUME outright; this guard covers direct library reads
-    of an old warehouse.)"""
+    Extraction edges store typed fields as native columns and get their
+    generic attrs map materialized at this boundary (assemble.with_attrs);
+    evidence edges carry a stored map. Schema drift across engine versions
+    unions with allowMissingColumns + empty-map fill instead of throwing
+    AnalysisException mid-read (ADVICE r4 — run_pipeline's schema-version
+    gate refuses cross-version RESUME outright; this guard covers direct
+    library reads of an old warehouse)."""
+    from .assemble import with_attrs
+
     empty = F.map_from_arrays(
         F.array().cast("array<string>"), F.array().cast("array<string>")
     )
-    edges = wh.read(spark, "edges")
+    edges = with_attrs(wh.read(spark, "edges"))
     if wh.has(EVIDENCE_TABLE):
         edges = edges.unionByName(
             wh.read(spark, EVIDENCE_TABLE), allowMissingColumns=True
         )
-        if "attrs" in edges.columns:
-            edges = edges.withColumn(
-                "attrs", F.coalesce(F.col("attrs"), empty)
-            )
+        edges = edges.withColumn("attrs", F.coalesce(F.col("attrs"), empty))
     return edges
 
 

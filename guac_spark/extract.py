@@ -128,46 +128,52 @@ def extract_mentions(transcripts: DataFrame, engine: str = "arrow") -> DataFrame
         return cols.mapInPandas(_extract_mentions_batch, MENTIONS_SCHEMA)
     if engine == "sql":
         # one scan: all four patterns evaluated per row, exploded via a
-        # map column (a 4-way union would rescan the table per pattern);
-        # text rides along to the post-explode projection so span can be
-        # computed per mention, then drops before anything shuffles
+        # map column (a 4-way union would rescan the table per pattern).
+        # span is computed PRE-explode via transform() while text is in
+        # scope — the exploded rows carry (surface, span) structs, never
+        # a copy of the turn text (carrying text through two explodes
+        # duplicated ~5x the corpus bytes through the stage)
         kv = []
         for kind, pat in MENTION_PATTERNS:
             kv.append(F.lit(kind))
-            kv.append(F.regexp_extract_all("text", F.lit(pat), F.lit(1)))
+            kv.append(surface_span_arr(pat, MARKER_PREFIX[kind]))
         return (
             transcripts.select(
                 "conv_id",
                 "turn_idx",
-                "text",
                 F.explode(F.create_map(*kv)).alias("kind", "arr"),
             )
             .select(
                 "conv_id",
                 "turn_idx",
-                "text",
                 "kind",
-                F.explode("arr").alias("surface"),
+                F.explode("arr").alias("e"),
             )
             .select(
                 "conv_id",
                 "turn_idx",
                 "kind",
-                "surface",
-                span_col().alias("span"),
+                F.col("e.s").alias("surface"),
+                F.col("e.sp").alias("span"),
             )
         )
     raise ValueError(f"unknown engine {engine!r}")
 
 
-def span_col():
-    """1-based first-occurrence position of the mention marker in the turn
-    text (typed per-mention field; see MARKER_PREFIX). Pure JVM exprs."""
-    pfx = F.element_at(
-        F.create_map(*[F.lit(x) for kv in MARKER_PREFIX.items() for x in kv]),
-        F.col("kind"),
+def surface_span_arr(pat: str, prefix: str):
+    """array<struct<s: surface, sp: span>> for one mention rule — span =
+    1-based first occurrence of the marker (prefix||surface) in the turn
+    text (typed per-mention field; see MARKER_PREFIX). Pure JVM exprs,
+    evaluated while text is still a scan column."""
+    return F.transform(
+        F.regexp_extract_all("text", F.lit(pat), F.lit(1)),
+        lambda s: F.struct(
+            s.alias("s"),
+            F.instr("text", F.concat(F.lit(prefix), s))
+            .cast("int")
+            .alias("sp"),
+        ),
     )
-    return F.instr("text", F.concat(pfx, F.col("surface"))).cast("int")
 
 
 FUSED_SCHEMA = MENTIONS_SCHEMA + ", surface_b string"
@@ -198,33 +204,36 @@ def extract_mentions_fused(
         kv = []
         for kind, pat in MENTION_PATTERNS:
             kv.append(F.lit(kind))
-            kv.append(F.regexp_extract_all("text", F.lit(pat), F.lit(1)))
+            kv.append(surface_span_arr(pat, MARKER_PREFIX[kind]))
         kv.append(F.lit("aka"))
         # cheap substring prefilter: most turns have no aka pattern, so
-        # gate the two regex passes behind contains()
+        # gate the two regex passes behind contains(). aka entries ride
+        # the same struct shape (span null — equivalence payload, not a
+        # mention), so no text column survives the first explode
         kv.append(
             F.when(
                 F.col("text").contains(" aka @"),
                 F.zip_with(
                     F.regexp_extract_all("text", F.lit(AKA_RE), F.lit(1)),
                     F.regexp_extract_all("text", F.lit(AKA_RE), F.lit(2)),
-                    lambda a, b: F.concat(a, F.lit(_AKA_SEP), b),
+                    lambda a, b: F.struct(
+                        F.concat(a, F.lit(_AKA_SEP), b).alias("s"),
+                        F.lit(None).cast("int").alias("sp"),
+                    ),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<struct<s: string, sp: int>>"))
         )
         return (
             transcripts.select(
                 "conv_id",
                 "turn_idx",
-                "text",
                 F.explode(F.create_map(*kv)).alias("kind", "arr"),
             )
             .select(
                 "conv_id",
                 "turn_idx",
-                "text",
                 "kind",
-                F.explode("arr").alias("_s"),
+                F.explode("arr").alias("e"),
             )
             .select(
                 "conv_id",
@@ -232,33 +241,14 @@ def extract_mentions_fused(
                 "kind",
                 F.when(
                     F.col("kind") == "aka",
-                    F.split_part(F.col("_s"), F.lit(_AKA_SEP), F.lit(1)),
+                    F.split_part(F.col("e.s"), F.lit(_AKA_SEP), F.lit(1)),
                 )
-                .otherwise(F.col("_s"))
+                .otherwise(F.col("e.s"))
                 .alias("surface"),
-                # aka rows are equivalence payload, not mentions — no span
-                F.when(
-                    F.col("kind") != "aka",
-                    F.instr(
-                        "text",
-                        F.concat(
-                            F.element_at(
-                                F.create_map(
-                                    *[
-                                        F.lit(x)
-                                        for kvp in MARKER_PREFIX.items()
-                                        for x in kvp
-                                    ]
-                                ),
-                                F.col("kind"),
-                            ),
-                            F.col("_s"),
-                        ),
-                    ).cast("int"),
-                ).alias("span"),
+                F.col("e.sp").alias("span"),
                 F.when(
                     F.col("kind") == "aka",
-                    F.split_part(F.col("_s"), F.lit(_AKA_SEP), F.lit(2)),
+                    F.split_part(F.col("e.s"), F.lit(_AKA_SEP), F.lit(2)),
                 ).alias("surface_b"),
             )
         )

@@ -35,27 +35,36 @@ def test_attrs_enter_edge_identity(spark):
 
 
 def test_extraction_edges_carry_span_attr_and_stable_ids(spark):
-    """Pipeline edges carry the parse-time typed attr {'span'} (VERDICT r4
-    missing #3), and its canonical rendering 'span=<n>' is the hash's
-    sixth segment — pinned against the oracle formula."""
+    """Pipeline edges carry the parse-time typed field `span` (VERDICT r4
+    missing #3) as a native column (typed-verb-fields-as-schema, the
+    reference's own shape), its canonical rendering 'span=<n>' is the
+    hash's sixth segment (pinned against the oracle formula), and the
+    boundary-materialized attrs map exposes it to the spec surface."""
     import hashlib
+
+    from guac_spark import assemble
 
     root = tempfile.mkdtemp(prefix="wh_eattr_")
     run_pipeline(spark, SF_SMALL, root)
     wh = Warehouse(root)
     e = wh.read(spark, "edges")
-    assert "attrs" in e.columns
-    # every extraction verb has exactly the span attr, a positive position
-    assert e.filter(F.size("attrs") != 1).count() == 0
-    assert e.filter(F.col("attrs")["span"].cast("int") < 1).count() == 0
+    assert "span" in e.columns
+    # every extraction verb has a positive parse-time position
+    assert e.filter(F.col("span") < 1).count() == 0
     r = e.first()
     want = hashlib.sha256(
         "|".join(
             [r["src"], r["pred"], r["dst"], r["origin"], r["document_ref"],
-             f"span={r['attrs']['span']}"]
+             f"span={r['span']}"]
         ).encode()
     ).hexdigest()
     assert r["edge_id"] == want
+    # the read-boundary map carries exactly the typed column
+    ea = assemble.with_attrs(e)
+    assert ea.filter(F.size("attrs") != 1).count() == 0
+    assert ea.filter(
+        F.col("attrs")["span"] != F.col("span").cast("string")
+    ).count() == 0
 
 
 def test_enrichment_score_is_typed_attr(spark):

@@ -173,11 +173,12 @@ def test_mention_stream_reaches_bucketed_write_without_exchange(spark):
 
 
 def test_kind_partition_prunes_both_consumers(spark):
-    """r5 lever (NOTES_r4 #5): mentions_linked is partitioned by `kind` on
-    top of the conv_id bucketing. The equivalences consumer must prune its
-    scan to the kind=aka directory, and the triples consumer must prune
-    the aka directory away — both while keeping the bucketed scan (no
-    hashpartitioning Exchange)."""
+    """r5 lever (NOTES_r4 #5), MEASURED AND REJECTED for the shipped
+    layout (write cost > read savings — pipeline.py): the capability
+    itself is pinned here — partitionBy('kind') composed with conv_id
+    bucketing must prune the aka consumer to the kind=aka directory and
+    prune the aka directory away for the triples consumer, both while
+    keeping the bucketed scan (no hashpartitioning Exchange)."""
     import tempfile
 
     from guac_spark import assemble, pipeline
@@ -186,7 +187,14 @@ def test_kind_partition_prunes_both_consumers(spark):
     root = tempfile.mkdtemp(prefix="wh_kindpart_")
     pipeline.run_pipeline(spark, SF_SMALL, root)
     wh = Warehouse(root)
-    linked = wh.read(spark, "mentions_linked")
+    # write the kind-partitioned variant of the committed mention stream
+    wh.write_snapshot(
+        wh.read(spark, "mentions_linked"),
+        "ml_kind",
+        bucket_by=(64, ["conv_id"]),
+        partition_by=["kind"],
+    )
+    linked = wh.read(spark, "ml_kind")
 
     aka_plan = _plan(linked.filter(F.col("kind") == "aka"))
     aka_scan = [
@@ -201,7 +209,7 @@ def test_kind_partition_prunes_both_consumers(spark):
     tr_scan = [
         ln
         for ln in tr_plan.splitlines()
-        if "PartitionFilters" in ln and "mentions_linked" in ln
+        if "PartitionFilters" in ln and "ml_kind" in ln
     ]
     assert tr_scan and "NOT (kind" in tr_scan[0]
     assert "kind=aka" not in tr_scan[0]
