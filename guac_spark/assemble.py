@@ -191,19 +191,26 @@ def vertices(triples: DataFrame) -> DataFrame:
     )
 
 
-def edge_id_col(attrs=None):
+def edge_id_col(attrs=None, attrs_canon=None):
     """Edge identity = hash of ALL fields including the canonical attrs
     rendering, mirroring GUAC's verb dedup key over every typed field
     (/root/reference/pkg/assembler/backends/keyvalue/isDependency.go:46-56
     hashes justification/dependencyType alongside provenance). attrs enter
     the id exactly like qualifiers enter vertex identity: sorted 'k=v&…'
     (canonical.canonical_qualifiers), '' for the empty map — so two edges
-    differing only in a typed attribute are distinct verbs."""
+    differing only in a typed attribute are distinct verbs.
+
+    attrs_canon short-circuits the rendering when the caller's key set is
+    STATIC and already sorted (e.g. extraction's lone 'span' field): the
+    generic map→entries→sort→join expression chain allocates arrays per
+    row, a measurable cost on a 61.8M-edge build for a string a concat
+    produces identically."""
     from .canonical import canonical_qualifiers
 
-    attrs_canon = (
-        canonical_qualifiers(attrs) if attrs is not None else F.lit("")
-    )
+    if attrs_canon is None:
+        attrs_canon = (
+            canonical_qualifiers(attrs) if attrs is not None else F.lit("")
+        )
     return F.sha2(
         F.concat_ws(
             "|",
@@ -241,9 +248,6 @@ def edges(triples: DataFrame) -> DataFrame:
     like the enrichment certifier's stored score/collector/justification
     map (enrich.py).
     """
-    attrs = F.create_map(
-        F.lit("span"), F.col("span").cast("string")
-    )
     e = triples.select(
         F.col("subj").alias("src"),
         F.col("obj").alias("dst"),
@@ -254,7 +258,16 @@ def edges(triples: DataFrame) -> DataFrame:
         ).alias("document_ref"),
         "span",
     )
-    e = e.withColumn("edge_id", edge_id_col(attrs))
+    # single static key => canonical rendering is a plain concat
+    # (identical to canonical_qualifiers({'span': v}), pytest-pinned)
+    e = e.withColumn(
+        "edge_id",
+        edge_id_col(
+            attrs_canon=F.concat(
+                F.lit("span="), F.col("span").cast("string")
+            )
+        ),
+    )
     # no dropDuplicates: triples are already distinct on
     # (conv_id, turn_idx, pred, obj) and span is a function of that key
     # (min-aggregated), so edge_id — which hashes exactly those fields

@@ -101,6 +101,17 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "low_stage_secs": lows[-1]["stage_secs"],
         "high_stage_secs": highs[-1]["stage_secs"],
+        # corpus-proportional universe evidence (r5): the pipeline's own
+        # linking/LSH/CC load at this scale point
+        "triples": lows[0].get("triples"),
+        "equivalence_edges": lows[0].get("equivalence_edges"),
+        "alias_dict_rows": lows[0].get("alias_dict_rows"),
+        "cc_round_stats_low": lows[-1].get("cc_round_stats"),
+        "cc_round_stats_high": highs[-1].get("cc_round_stats"),
+        "triples_per_sec_runs": {
+            "low": [d.get("triples_per_sec") for d in lows],
+            "high": [d.get("triples_per_sec") for d in highs],
+        },
     }))
 
 

@@ -160,3 +160,19 @@ def test_reserved_qualifier_keys_are_namespaced(spark):
     assert attrs["ns"] == "tool"  # reserved key keeps the namespace role
     assert attrs["q.ns"] == "weird"  # qualifier survives, namespaced
     assert attrs["v"] == "2"  # non-colliding qualifiers unprefixed
+
+
+def test_static_span_rendering_equals_canonical_qualifiers(spark):
+    """The edges builder's concat shortcut must render byte-identically
+    to the generic sorted canonical_qualifiers for the single span key
+    (it feeds edge_id — any divergence silently forks edge identity)."""
+    from guac_spark.canonical import canonical_qualifiers
+
+    df = spark.createDataFrame([(1,), (42,), (1000,)], "span int")
+    got = df.select(
+        F.concat(F.lit("span="), F.col("span").cast("string")).alias("a"),
+        canonical_qualifiers(
+            F.create_map(F.lit("span"), F.col("span").cast("string"))
+        ).alias("b"),
+    )
+    assert got.filter(F.col("a") != F.col("b")).count() == 0
