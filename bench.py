@@ -151,6 +151,9 @@ def main() -> None:
                     "q_ann_lsh": lambda: similarity.ann_topk_lsh(
                         emb, [0, 1, 2, 3, 4], 5
                     ).count(),
+                    "q_ann_ivf": lambda: similarity.ann_topk_ivf(
+                        emb, [0, 1, 2, 3, 4], 5, nprobe=3
+                    ).count(),
                     "q_token_stats": lambda: quality.token_stats(docs).count(),
                     "q_quality": lambda: quality.quality_score(docs).count(),
                 }

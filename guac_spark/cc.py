@@ -93,7 +93,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     n_salts: int = 16,  # kept for API compat; algebraic min needs no salting
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 100_000,
     broadcast_limit: int = 1_000_000,
     round_stats: list | None = None,
 ) -> DataFrame:
@@ -105,10 +105,12 @@ def connected_components(
 
     Two physical strategies with identical output:
       * edge set fits the driver (<= driver_threshold rows): exact
-        union-find locally — the equivalence graph is orders of magnitude
-        smaller than the corpus (only same_as/link pairs), so even at
-        10^12 turns it is usually driver-sized; collect + solve beats
-        O(diameter) distributed rounds.
+        union-find locally — collect + solve beats O(diameter)
+        distributed rounds for genuinely tiny sets. The default matches
+        the pipeline's gate (pipeline.CC_DRIVER_THRESHOLD): with a
+        corpus-proportional entity universe the equivalence graph grows
+        ~linearly with the corpus, so anything past ~100k edges takes
+        the path that scales.
       * otherwise: frontier-based min-label propagation with a fused
         pointer-doubling jump term (module docstring), O(log diameter)
         rounds; after round 0 each round touches only the changed-label

@@ -287,15 +287,37 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _events_rows(sf_dir: str) -> int:
+    """Exact events row count from the parquet footers — no Spark job.
+
+    Footer num_rows IS the committed row count, so the universe formula
+    sees the identical integer a count() would produce; at cluster scale
+    this is the table's snapshot summary (Iceberg keeps row counts in
+    metadata precisely so sizing decisions never scan)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                         recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _prepare_universe(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     """Register `events` + `alias_base` + `alias_full` views for sf_dir and
-    return (np, nt). One count() job sizes the universe; alias_full stays
-    a lazy view (two narrow, column-pruned scans when the corpus join
-    broadcasts it twice — ≪ the derivation window's own cost)."""
+    return (np, nt). The universe is sized from parquet footer metadata
+    (no count job); alias_full stays a lazy view (two narrow,
+    column-pruned scans when the corpus join broadcasts it twice — ≪ the
+    derivation window's own cost)."""
     ev = load_events(spark, sf_dir)
     ev.createOrReplaceTempView("events")
     register_alias_base(spark)
-    np_, nt = universe(ev.count())
+    np_, nt = universe(_events_rows(sf_dir))
     if np_ == HEAD:
         # the generated arm is provably empty (residues < HEAD only) —
         # skip its events scan entirely; alias_full == alias_base

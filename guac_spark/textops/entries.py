@@ -360,6 +360,66 @@ WHERE bit_count(xor(('0x' || substr(sa, 1, 8))::UBIGINT,
 
 ORACLES["q_ann_lsh"] = _ann_lsh_oracle()
 
+
+def _ann_ivf_oracle(nprobe: int = 3, k: int = 5) -> str:
+    """Exact mirror of similarity.ann_topk_ivf: the 6-dp-rounded
+    per-label quantizer, cosine argmax assignment (ties to the smallest
+    list_id), top-nprobe probe lists per query, exact cosine + rank
+    inside the probed lists."""
+    qids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    return f"""
+WITH cdim AS (
+  SELECT cast(e.label AS INT) AS list_id, cast(r.i AS INT) AS dim,
+         round(avg(cast(e.embedding[cast(r.i AS INT) + 1] AS DOUBLE)), 6)
+           AS cv
+  FROM embeddings e, range(0, 64) r(i)
+  GROUP BY e.label, r.i
+),
+cent AS (
+  SELECT list_id, list(cv ORDER BY dim) AS cvec FROM cdim GROUP BY list_id
+),
+emb AS (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_cos('e.v', 'c.cvec')} DESC, c.list_id) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS vq FROM emb WHERE vec_id IN ({qids})
+),
+probes AS (
+  SELECT query_id, vq, list_id FROM (
+    SELECT q.query_id, q.vq, c.list_id, row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY {_cos('q.vq', 'c.cvec')} DESC, c.list_id) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {nprobe}
+),
+lists AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS vc, a.list_id
+  FROM emb e JOIN assigned a USING (vec_id)
+  WHERE e.vec_id NOT IN ({qids})
+),
+scored AS (
+  SELECT p.query_id, lists.neighbor_id, {_cos('p.vq', 'lists.vc')} AS cos
+  FROM probes p JOIN lists USING (list_id)
+)
+SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+ORACLES["q_ann_ivf"] = _ann_ivf_oracle()
+
 ORACLES["q_doc_minhash_pairs"] = f"""
 WITH {_SDOCS.strip()},
 {_SHINGLES2.strip()},
@@ -443,6 +503,12 @@ def _q_ann_lsh(spark, sf):
     )
 
 
+def _q_ann_ivf(spark, sf):
+    return similarity.ann_topk_ivf(
+        similarity.load_embeddings(spark, sf), QUERY_VEC_IDS, 5, nprobe=3
+    )
+
+
 def _q_embed_centroids(spark, sf):
     return similarity.label_centroids(similarity.load_embeddings(spark, sf))
 
@@ -474,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": _q_embed_neardup,
         "q_ann_topk": _q_ann_topk,
         "q_ann_lsh": _q_ann_lsh,
+        "q_ann_ivf": _q_ann_ivf,
         "q_embed_centroids": _q_embed_centroids,
         "q_token_stats": _q_token_stats,
         "q_lang_id": _q_lang_id,

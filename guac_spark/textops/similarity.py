@@ -263,6 +263,135 @@ def ann_topk_lsh(
     )
 
 
+# --- IVF ANN (inverted-file index: coarse quantizer + probed lists) ---------
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Coarse quantizer: one centroid vector per inverted list.
+
+    (list_id int, cvec array<double>) — per-label mean, rounded to 6 dp
+    BEFORE any downstream use so assignment and probing run on exactly
+    the same quantizer in every engine (the oracle mirrors the rounding;
+    IVF centroids are approximate by design, so quantizing the quantizer
+    loses nothing). The quantizer is pluggable: k-means would slot in
+    here — each Lloyd step is one more groupBy pass over this same
+    shape — but a deterministic closed-form quantizer keeps the operator
+    oracle-checkable end-to-end.
+
+    Relational build (posexplode + groupBy): one pass, fully JVM, scales
+    to any corpus; the output is nlist rows — driver/broadcast-sized by
+    construction (FAISS holds IVF centroids in RAM the same way).
+    """
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+        .select(F.col("label").cast("int").alias("list_id"), "cvec")
+    )
+
+
+def _cos_cols(v: str, cv: str):
+    return _dot(v, cv) / (_norm(v) * _norm(cv))
+
+
+def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Inverted-list assignment: (vec_id, list_id) — nearest centroid by
+    cosine, ties to the smallest list_id.
+
+    Shape for 100 TB: corpus × broadcast(nlist centroids) scores every
+    vector against every centroid with zero shuffle, and the argmax is a
+    plain algebraic max over struct(cos, -list_id) — partial-aggregated
+    map-side, so the only exchange carries one row per vector. No window
+    (a per-vec_id window would sort-shuffle nlist× the corpus). At scale
+    the assigned table IS the inverted file — write it partitioned or
+    bucketed by list_id and each probe reads only its lists.
+    """
+    scored = (
+        emb.select(F.col("vec_id"), F.col("embedding").alias("v"))
+        .join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            _cos_cols("v", "cvec").alias("cos"),
+            F.col("list_id"),
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("list_id")).alias("neg")))
+        .alias("m")
+    )
+    return best.select(
+        "vec_id", (-F.col("m.neg")).cast("int").alias("list_id")
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame, query_ids: list[int], k: int = 5, nprobe: int = 3
+) -> DataFrame:
+    """IVF approximate top-k: (query_id, neighbor_id, rank, cos).
+
+    Classic inverted-file search: the corpus is assigned to nlist
+    disjoint lists by nearest centroid (ivf_assign); each query probes
+    only its `nprobe` nearest lists and runs the exact cosine inside
+    them. Cost per query drops from O(n) to O(n·nprobe/nlist) expected;
+    recall rises monotonically with nprobe, and nprobe = nlist
+    reproduces ann_topk_bruteforce exactly (pytest-pinned).
+    ann_topk_lsh is the hash-blocked alternative — IVF trades its
+    data-dependent quantizer (better list balance on clustered corpora)
+    for the training pass.
+
+    Lists are disjoint (one list per vector), so probe hits need no
+    dedup — unlike multi-probe LSH.
+    """
+    cent = ivf_centroids(emb)
+    assigned = ivf_assign(emb, cent)
+    q0 = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("vq"),
+        _norm("embedding").alias("nq"),
+    )
+    # probe selection: queries × broadcast centroids, top-nprobe lists.
+    # The window is per-QUERY over nlist rows — query-set sized, never
+    # corpus sized.
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("list_id")
+    )
+    probes = (
+        q0.join(F.broadcast(cent))
+        .withColumn("ccos", _cos_cols("vq", "cvec"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "vq", "nq", "list_id")
+    )
+    c = (
+        emb.filter(~F.col("vec_id").isin(query_ids))
+        .join(assigned, on="vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("vc"),
+            _norm("embedding").alias("nc"),
+            "list_id",
+        )
+    )
+    scored = c.join(F.broadcast(probes), on="list_id").withColumn(
+        "cos", _dot("vq", "vc") / (F.col("nq") * F.col("nc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos", 6).alias("cos"))
+    )
+
+
 def label_centroids(emb: DataFrame) -> DataFrame:
     """(label, dim, centroid): per-cluster mean vector, relationally —
     posexplode + groupBy, fully JVM-side, scales to any corpus size."""

@@ -109,6 +109,53 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert all(q in qids for q, _ in lsh)
 
 
+def test_ivf_assignment_is_a_partition(spark):
+    """Every corpus vector lands in exactly one inverted list (lists are
+    disjoint and total — the property that lets the probe join skip the
+    dedup multi-probe LSH needs)."""
+    emb = similarity.load_embeddings(spark, SF_SMALL)
+    cent = similarity.ivf_centroids(emb)
+    assigned = similarity.ivf_assign(emb, cent)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+    lists = {r["list_id"] for r in cent.collect()}
+    assert {r["list_id"] for r in assigned.collect()} <= lists
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe = nlist degrades IVF to an exact scan — output must be
+    row-identical to the brute-force baseline (rank ties included)."""
+    emb = similarity.load_embeddings(spark, SF_SMALL)
+    qids = [0, 1, 2, 3, 4]
+    nlist = similarity.ivf_centroids(emb).count()
+    brute = sorted(
+        map(tuple, similarity.ann_topk_bruteforce(emb, qids, 5).collect())
+    )
+    ivf = sorted(
+        map(
+            tuple,
+            similarity.ann_topk_ivf(emb, qids, 5, nprobe=nlist).collect(),
+        )
+    )
+    assert ivf == brute
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = similarity.load_embeddings(spark, SF_SMALL)
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk_bruteforce(emb, qids, 5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk_ivf(emb, qids, 5, nprobe=3).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall > 0.1, recall
+    assert all(q in qids for q, _ in ivf)
+
+
 def test_multimodal_plumbing(spark):
     docs = dedup.load_documents(spark, SF_SMALL)
     media = multimodal.attach_media(docs)
