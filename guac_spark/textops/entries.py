@@ -420,6 +420,85 @@ FROM (
 
 ORACLES["q_ann_ivf"] = _ann_ivf_oracle()
 
+
+def _ann_ivf_km_oracle(nprobe: int = 3, k: int = 5) -> str:
+    """Exact mirror of ann_topk_ivf with the ONE-Lloyd-step k-means
+    quantizer (ivf_centroids_kmeans iters=1): label-mean init (cent0,
+    6-dp-rounded) → argmax assignment → per-list re-mean (kcent,
+    6-dp-rounded) → the standard assignment/probe/rank chain against
+    kcent. Every step's rounding matches the Spark side so the two
+    engines iterate on the identical quantizer."""
+    qids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    return f"""
+WITH cdim AS (
+  SELECT cast(e.label AS INT) AS list_id, cast(r.i AS INT) AS dim,
+         round(avg(cast(e.embedding[cast(r.i AS INT) + 1] AS DOUBLE)), 6)
+           AS cv
+  FROM embeddings e, range(0, 64) r(i)
+  GROUP BY e.label, r.i
+),
+cent0 AS (
+  SELECT list_id, list(cv ORDER BY dim) AS cvec FROM cdim GROUP BY list_id
+),
+emb AS (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+assigned0 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_cos('e.v', 'c.cvec')} DESC, c.list_id) AS rn
+    FROM emb e CROSS JOIN cent0 c
+  ) WHERE rn = 1
+),
+kdim AS (
+  SELECT a.list_id, cast(r.i AS INT) AS dim,
+         round(avg(e.v[cast(r.i AS INT) + 1]), 6) AS cv
+  FROM emb e JOIN assigned0 a USING (vec_id), range(0, 64) r(i)
+  GROUP BY a.list_id, r.i
+),
+kcent AS (
+  SELECT list_id, list(cv ORDER BY dim) AS cvec FROM kdim GROUP BY list_id
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_cos('e.v', 'c.cvec')} DESC, c.list_id) AS rn
+    FROM emb e CROSS JOIN kcent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS vq FROM emb WHERE vec_id IN ({qids})
+),
+probes AS (
+  SELECT query_id, vq, list_id FROM (
+    SELECT q.query_id, q.vq, c.list_id, row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY {_cos('q.vq', 'c.cvec')} DESC, c.list_id) AS rn
+    FROM q CROSS JOIN kcent c
+  ) WHERE rn <= {nprobe}
+),
+lists AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS vc, a.list_id
+  FROM emb e JOIN assigned a USING (vec_id)
+  WHERE e.vec_id NOT IN ({qids})
+),
+scored AS (
+  SELECT p.query_id, lists.neighbor_id, {_cos('p.vq', 'lists.vc')} AS cos
+  FROM probes p JOIN lists USING (list_id)
+)
+SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+ORACLES["q_ann_ivf_km"] = _ann_ivf_km_oracle()
+
 ORACLES["q_doc_minhash_pairs"] = f"""
 WITH {_SDOCS.strip()},
 {_SHINGLES2.strip()},
@@ -509,6 +588,14 @@ def _q_ann_ivf(spark, sf):
     )
 
 
+def _q_ann_ivf_km(spark, sf):
+    emb = similarity.load_embeddings(spark, sf)
+    return similarity.ann_topk_ivf(
+        emb, QUERY_VEC_IDS, 5, nprobe=3,
+        centroids=similarity.ivf_centroids_kmeans(emb, iters=1),
+    )
+
+
 def _q_embed_centroids(spark, sf):
     return similarity.label_centroids(similarity.load_embeddings(spark, sf))
 
@@ -541,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": _q_ann_topk,
         "q_ann_lsh": _q_ann_lsh,
         "q_ann_ivf": _q_ann_ivf,
+        "q_ann_ivf_km": _q_ann_ivf_km,
         "q_embed_centroids": _q_embed_centroids,
         "q_token_stats": _q_token_stats,
         "q_lang_id": _q_lang_id,

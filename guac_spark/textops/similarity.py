@@ -300,6 +300,41 @@ def _cos_cols(v: str, cv: str):
     return _dot(v, cv) / (_norm(v) * _norm(cv))
 
 
+def ivf_centroids_kmeans(emb: DataFrame, iters: int = 1) -> DataFrame:
+    """Lloyd-refined coarse quantizer: per-label means as deterministic
+    init, then `iters` k-means steps (assign → re-mean), each step's
+    centroids rounded to 6 dp so both engines iterate on the identical
+    quantizer (same contract as ivf_centroids; the oracle mirrors the
+    full chain). Lists that lose every member simply drop out — probing
+    and assignment only ever reference surviving centroids.
+
+    Each Lloyd step is two passes over the corpus, both already the
+    scale shapes used elsewhere: assignment = broadcast × algebraic max
+    (ivf_assign — no corpus window), re-mean = posexplode + groupBy
+    partial aggregation. iters stays small by design (IVF coarse
+    quantizers converge in a handful of steps; FAISS defaults to 10 on
+    a SAMPLE — at 100 TB the training pass would run on a sampled
+    fraction, which slots in here as a .sample() before the loop).
+    """
+    cent = ivf_centroids(emb)
+    for _ in range(iters):
+        a = ivf_assign(emb, cent)
+        cent = (
+            emb.join(a, on="vec_id")
+            .select("list_id", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("list_id", "dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("cvec")
+            )
+        )
+    return cent
+
+
 def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Inverted-list assignment: (vec_id, list_id) — nearest centroid by
     cosine, ties to the smallest list_id.
@@ -331,7 +366,11 @@ def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def ann_topk_ivf(
-    emb: DataFrame, query_ids: list[int], k: int = 5, nprobe: int = 3
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: (query_id, neighbor_id, rank, cos).
 
@@ -347,8 +386,12 @@ def ann_topk_ivf(
 
     Lists are disjoint (one list per vector), so probe hits need no
     dedup — unlike multi-probe LSH.
+
+    `centroids` plugs in an alternative coarse quantizer (e.g.
+    ivf_centroids_kmeans) — assignment and probing always use the SAME
+    centroid set, whatever produced it.
     """
-    cent = ivf_centroids(emb)
+    cent = ivf_centroids(emb) if centroids is None else centroids
     assigned = ivf_assign(emb, cent)
     q0 = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),

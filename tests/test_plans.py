@@ -246,3 +246,27 @@ def test_vertices_turn_arm_dedups_without_shuffle(spark):
     plan = _plan(turn_arm)
     assert "Exchange hashpartitioning" not in plan
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+
+
+def test_ivf_assignment_broadcasts_and_avoids_window(spark):
+    """The IVF inverted-list assignment must be corpus x broadcast(nlist
+    centroids) with a plain algebraic-max argmax: no Window operator (a
+    per-vec_id window would sort-shuffle nlist x the corpus) and exactly
+    ONE corpus-keyed hash exchange — the argmax groupBy, whose partial
+    aggregation ships one row per vector. (The centroid build upstream
+    contributes two more exchanges, but those carry label/dim
+    aggregates — nlist x ndim rows after map-side collapse, not corpus
+    rows.)"""
+    from guac_spark.textops import similarity
+
+    emb = similarity.load_embeddings(spark, SF_SMALL)
+    cent = similarity.ivf_centroids(emb)
+    assigned = similarity.ivf_assign(emb, cent)
+    plan = _plan(assigned)
+    assert "Window" not in plan
+    assert "Broadcast" in plan  # centroids arrive as a broadcast relation
+    corpus_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(vec_id" in ln
+    ]
+    assert len(corpus_ex) == 1, plan

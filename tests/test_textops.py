@@ -273,3 +273,35 @@ def test_ppm_decode_resize_reencode(spark):
     thumb = multimodal.parse_ppm(bytes(row["thumb"]))
     assert thumb.shape == (12, 16, 3)
     assert (thumb == multimodal.resize_nearest(arr, 16, 12)).all()
+
+
+def test_ivf_kmeans_full_probe_equals_bruteforce(spark):
+    """Search exactness is independent of the quantizer: with the
+    k-means-refined centroids and nprobe = nlist, IVF must still
+    reproduce the brute-force baseline row-identically."""
+    emb = similarity.load_embeddings(spark, SF_SMALL)
+    qids = [0, 1, 2, 3, 4]
+    kc = similarity.ivf_centroids_kmeans(emb, iters=1)
+    nlist = kc.count()
+    brute = sorted(
+        map(tuple, similarity.ann_topk_bruteforce(emb, qids, 5).collect())
+    )
+    ivf = sorted(
+        map(
+            tuple,
+            similarity.ann_topk_ivf(
+                emb, qids, 5, nprobe=nlist, centroids=kc
+            ).collect(),
+        )
+    )
+    assert ivf == brute
+
+
+def test_ivf_kmeans_assignment_stays_a_partition(spark):
+    """One Lloyd step must preserve the disjoint-and-total property of
+    the inverted lists (lists may shrink or die, never overlap)."""
+    emb = similarity.load_embeddings(spark, SF_SMALL)
+    kc = similarity.ivf_centroids_kmeans(emb, iters=1)
+    assigned = similarity.ivf_assign(emb, kc)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
