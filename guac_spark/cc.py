@@ -96,6 +96,7 @@ def connected_components(
     driver_threshold: int = 100_000,
     broadcast_limit: int = 1_000_000,
     round_stats: list | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Compute components of the undirected graph given by (src, dst) rows.
 
@@ -117,7 +118,12 @@ def connected_components(
         frontier, broadcast-joined once it fits broadcast_limit rows.
     """
     spark = edges.sparkSession
-    n_edges = edges.count()
+    # n_edges gates the physical strategy only — callers holding a
+    # committed snapshot pass its row count (warehouse commit log /
+    # parquet footers, the snapshot-summary pattern) and skip the
+    # count job entirely
+    if n_edges is None:
+        n_edges = edges.count()
     if n_edges <= driver_threshold:
         pairs = [
             (r[0], r[1]) for r in edges.select(src, dst).distinct().collect()

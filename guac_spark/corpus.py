@@ -169,21 +169,42 @@ def alias_dict_sql(np_expr: str, nt_expr: str, dialect: str) -> str:
     Head + generated person aliases, the topic universe actually present
     in the corpus, and the tool literals. The near-duplicate tails are
     deliberately absent and reachable only via LSH (link.py). References
-    `alias_full` (Spark: temp view; oracle: CTE) and `events`.
+    `alias_base` and `events`.
+
+    ONE corpus scan (r5): the distinct generated pids and the distinct
+    topic keys come from a single GROUPING SETS pass — each input row
+    expands to its two grouping rows and one partial-aggregated shuffle
+    collapses both universes, instead of two separate DISTINCT scans of
+    events. Set membership is recovered without grouping(): pid is never
+    data-null, so `pid IS NULL` exactly marks the topic-set rows. The
+    grouping relation is referenced ONCE (a derived table, not a CTE) —
+    both engines therefore plan exactly one scan, and the template
+    avoids nested WITH, which DuckDB mis-scopes across UNION branches
+    inside a WITH RECURSIVE chain (the oracle prelude is one).
     """
     tools = " UNION ALL ".join(
         f"SELECT '{t}' AS alias, 'ent:tool/{t}' AS entity_id, "
         f"'tool' AS kind, 1.0 AS prior" for t in TOOLS
     )
+    gen = gen_alias_expr("pid", dialect)
     return f"""
+SELECT CASE WHEN pid IS NOT NULL THEN {gen}
+            ELSE 'topic_' || tk END AS alias,
+       CASE WHEN pid IS NOT NULL THEN 'ent:person/' || {gen}
+            ELSE 'ent:topic/topic_' || tk END AS entity_id,
+       CASE WHEN pid IS NOT NULL THEN 'person' ELSE 'topic' END AS kind,
+       1.0 AS prior
+FROM (
+  SELECT event_id % {np_expr} AS pid, {topic_k_sql(nt_expr)} AS tk
+  FROM events
+  GROUP BY GROUPING SETS ((event_id % {np_expr}), ({topic_k_sql(nt_expr)}))
+) gsets
+WHERE (pid IS NOT NULL AND pid >= {HEAD})
+   OR (pid IS NULL AND tk IS NOT NULL)
+UNION ALL
 SELECT alias, 'ent:person/' || alias AS entity_id,
        'person' AS kind, 1.0 AS prior
-FROM alias_full
-UNION ALL
-SELECT DISTINCT 'topic_' || {topic_k_sql(nt_expr)} AS alias,
-       'ent:topic/topic_' || {topic_k_sql(nt_expr)} AS entity_id,
-       'topic' AS kind, 1.0 AS prior
-FROM events WHERE value IS NOT NULL
+FROM alias_base
 UNION ALL
 {tools}
 """.strip()

@@ -188,6 +188,10 @@ def run_pipeline(
             links,
             driver_threshold=CC_DRIVER_THRESHOLD,
             round_stats=res.cc_round_stats,
+            # the equivalences snapshot was just committed — its row
+            # count is free from the commit log (snapshot summary), so
+            # the strategy gate costs no count job
+            n_edges=wh.committed_rows("equivalences"),
         ),
     )
 
