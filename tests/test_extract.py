@@ -144,3 +144,17 @@ def test_person_boundary_excludes_tool_version_suffix(spark):
         assert persons == ["ada-lovelace", "alan-turing"], (engine, persons)
         tools = [r["surface"] for r in m if r["kind"] == "tool"]
         assert tools == ["vec_db@v2"]
+
+
+def test_events_rows_matches_count_on_single_and_multi_file(spark, tmp_path):
+    """_events_rows (footer-based universe sizing) must equal a real
+    count() on both layouts: the driver's single-file events.parquet and
+    a multi-file directory table (the replicated scaling corpus)."""
+    from guac_spark.corpus import _events_rows, load_events
+
+    assert _events_rows(SF_SMALL) == load_events(spark, SF_SMALL).count()
+
+    multi = str(tmp_path / "sfdir")
+    ev = load_events(spark, SF_SMALL)
+    ev.repartition(3).write.parquet(f"{multi}/events.parquet")
+    assert _events_rows(multi) == ev.count()
