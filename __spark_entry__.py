@@ -42,7 +42,7 @@ def _ctx(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # schema-versioned cache tag: a resumed warehouse from an older
         # engine version (different edge_id formula / edge attrs schema)
         # must never satisfy this round's queries
-        tag = hashlib.sha256(f"v5:{key}".encode()).hexdigest()[:12]
+        tag = hashlib.sha256(f"v6:{key}".encode()).hexdigest()[:12]
         root = os.path.join(
             os.environ.get("GUAC_SPARK_WH", "/tmp/guac_spark_wh"), tag
         )

@@ -141,11 +141,24 @@ def gen_alias_expr(pid_expr: str, dialect: str) -> str:
 def gen_pid_sql(np_expr: str) -> str:
     """Generated-pid relation: the residues mod np actually present in the
     corpus (shared dialect — both engines derive it from `events`, so the
-    universes agree even for sparse event_id spaces)."""
-    return (
-        f"SELECT DISTINCT event_id % {np_expr} AS pid FROM events "
-        f"WHERE event_id % {np_expr} >= {HEAD}"
-    )
+    universes agree even for sparse event_id spaces).
+
+    BOTH residue expressions the corpus join uses (pid1 = event_id % np
+    AND pid2 = (event_id + 7) % np) feed the universe: on sparse event_id
+    spaces (e.g. the replicated bench corpus's 10M-stride blocks) up to 7
+    pid2 residues per block can be absent from the pid1 set, and an
+    alias_full missing them would silently DROP those transcript rows at
+    the corpus inner join (ADVICE r5). One events scan via GROUPING SETS
+    (two grouping rows per input row, one partial-aggregated shuffle),
+    then a tiny DISTINCT merges the two residue sets."""
+    return f"""
+SELECT DISTINCT coalesce(p1, p2) AS pid FROM (
+  SELECT event_id % {np_expr} AS p1, (event_id + 7) % {np_expr} AS p2
+  FROM events
+  GROUP BY GROUPING SETS ((event_id % {np_expr}),
+                          (((event_id + 7) % {np_expr})))
+) gp2 WHERE coalesce(p1, p2) >= {HEAD}
+""".strip()
 
 
 def alias_full_sql(np_expr: str, dialect: str) -> str:
@@ -171,16 +184,19 @@ def alias_dict_sql(np_expr: str, nt_expr: str, dialect: str) -> str:
     deliberately absent and reachable only via LSH (link.py). References
     `alias_base` and `events`.
 
-    ONE corpus scan (r5): the distinct generated pids and the distinct
-    topic keys come from a single GROUPING SETS pass — each input row
-    expands to its two grouping rows and one partial-aggregated shuffle
-    collapses both universes, instead of two separate DISTINCT scans of
-    events. Set membership is recovered without grouping(): pid is never
-    data-null, so `pid IS NULL` exactly marks the topic-set rows. The
-    grouping relation is referenced ONCE (a derived table, not a CTE) —
-    both engines therefore plan exactly one scan, and the template
-    avoids nested WITH, which DuckDB mis-scopes across UNION branches
-    inside a WITH RECURSIVE chain (the oracle prelude is one).
+    ONE corpus scan (r5): the distinct generated pids (from BOTH residue
+    expressions the corpus join uses — see gen_pid_sql, ADVICE r5) and
+    the distinct topic keys come from a single GROUPING SETS pass — each
+    input row expands to its three grouping rows and one
+    partial-aggregated shuffle collapses all universes, instead of
+    separate DISTINCT scans of events; a tiny follow-up DISTINCT over the
+    ~(2·np + nt) aggregated rows merges the two pid residue sets. Set
+    membership is recovered without grouping(): pid is never data-null,
+    so `pid IS NULL` exactly marks the topic-set rows. The grouping
+    relation is referenced ONCE (a derived table, not a CTE) — both
+    engines therefore plan exactly one scan, and the template avoids
+    nested WITH, which DuckDB mis-scopes across UNION branches inside a
+    WITH RECURSIVE chain (the oracle prelude is one).
     """
     tools = " UNION ALL ".join(
         f"SELECT '{t}' AS alias, 'ent:tool/{t}' AS entity_id, "
@@ -195,9 +211,15 @@ SELECT CASE WHEN pid IS NOT NULL THEN {gen}
        CASE WHEN pid IS NOT NULL THEN 'person' ELSE 'topic' END AS kind,
        1.0 AS prior
 FROM (
-  SELECT event_id % {np_expr} AS pid, {topic_k_sql(nt_expr)} AS tk
-  FROM events
-  GROUP BY GROUPING SETS ((event_id % {np_expr}), ({topic_k_sql(nt_expr)}))
+  SELECT DISTINCT coalesce(p1, p2) AS pid, tk FROM (
+    SELECT event_id % {np_expr} AS p1,
+           (event_id + 7) % {np_expr} AS p2,
+           {topic_k_sql(nt_expr)} AS tk
+    FROM events
+    GROUP BY GROUPING SETS ((event_id % {np_expr}),
+                            (((event_id + 7) % {np_expr})),
+                            ({topic_k_sql(nt_expr)}))
+  ) g3
 ) gsets
 WHERE (pid IS NOT NULL AND pid >= {HEAD})
    OR (pid IS NULL AND tk IS NOT NULL)
@@ -265,13 +287,20 @@ JOIN alias_full a2 ON a2.pid = n.pid2
 """.strip()
 
 
-# the oracle's SQL rendering of universe(): MUST match the Python formula
-U_PARAMS_SQL = (
-    f"SELECT greatest({HEAD}, cast(floor(count(*) / {PERSON_DIV}.0) AS INT))"
-    f" AS np, "
-    f"greatest({N_TOPICS}, cast(floor(count(*) / {TOPIC_DIV}.0) AS INT))"
-    f" AS nt FROM events"
-)
+# the oracle's SQL rendering of universe(): MUST match the Python formula.
+# GUAC_SPARK_UNIVERSE=fixed pins BOTH engines (ADVICE r5: pinning only the
+# Spark side made the oracle compute the grown universe and report
+# spurious mismatches) — read at import, like the Spark-side universe()
+if os.environ.get("GUAC_SPARK_UNIVERSE") == "fixed":
+    U_PARAMS_SQL = f"SELECT {HEAD} AS np, {N_TOPICS} AS nt"
+else:
+    U_PARAMS_SQL = (
+        f"SELECT greatest({HEAD}, "
+        f"cast(floor(count(*) / {PERSON_DIV}.0) AS INT))"
+        f" AS np, "
+        f"greatest({N_TOPICS}, cast(floor(count(*) / {TOPIC_DIV}.0) AS INT))"
+        f" AS nt FROM events"
+    )
 NP_SUB = "(SELECT np FROM u_params)"
 NT_SUB = "(SELECT nt FROM u_params)"
 

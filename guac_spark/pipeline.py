@@ -37,7 +37,11 @@ N_BUCKETS = 64
 # AnalysisExceptions or silently mixing edge_id formulas (ADVICE r4).
 # v5: edges carry extraction-time typed attrs {'span'} inside edge_id;
 #     triples gained the span column; corpus universe scales with sf.
-SCHEMA_VERSION = 5
+# v6: the generated-pid universe derives from BOTH corpus-join residue
+#     expressions (corpus.gen_pid_sql, ADVICE r5) — on sparse event_id
+#     spaces the entity universe (and thus every downstream table)
+#     differs from v5.
+SCHEMA_VERSION = 6
 
 # CC physical-strategy gates. The driver-side union-find is strictly for
 # small equivalence sets: with a corpus-proportional entity universe the
@@ -91,13 +95,20 @@ def run_pipeline(
     # resume would mix edge_id formulas or throw mid-union. Refuse loudly;
     # fresh runs (resume=False) overwrite and restamp.
     stored_ver = wh.get_meta("schema_version")
-    if resume and stored_ver is not None and stored_ver != SCHEMA_VERSION:
-        raise ValueError(
-            f"warehouse at {warehouse_root} was written by engine schema "
-            f"v{stored_ver}, this engine is v{SCHEMA_VERSION}: refusing to "
-            "resume across an identity-formula change — rerun with "
-            "resume=False (or a fresh warehouse_root) to rebuild"
-        )
+    if resume and stored_ver != SCHEMA_VERSION:
+        # a warehouse with committed tables but NO schema_version meta
+        # predates the versioning (≤v4) and is just as incompatible as an
+        # explicit mismatch — requiring stored_ver to be non-None would
+        # let resume serve old-formula tables and then stamp them current,
+        # hiding the mismatch from every future resume (ADVICE r5)
+        if stored_ver is not None or wh.committed_tables():
+            raise ValueError(
+                f"warehouse at {warehouse_root} was written by engine "
+                f"schema v{stored_ver if stored_ver is not None else '<=4'}"
+                f", this engine is v{SCHEMA_VERSION}: refusing to resume "
+                "across an identity-formula change — rerun with "
+                "resume=False (or a fresh warehouse_root) to rebuild"
+            )
     wh.set_meta("schema_version", SCHEMA_VERSION)
     res = PipelineResult()
     t0 = time.time()

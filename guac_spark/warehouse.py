@@ -91,6 +91,12 @@ class Warehouse:
         entry = self._read_log()["tables"].get(table)
         return entry["snapshot_id"] if entry else None
 
+    def committed_tables(self) -> list[str]:
+        """Names of all tables with a committed snapshot (e.g. for the
+        engine schema gate: a warehouse with committed tables but no
+        schema_version meta is legacy-incompatible)."""
+        return sorted(self._read_log()["tables"])
+
     def committed_paths(self, table: str) -> list[str] | None:
         """Data directories of the committed snapshot (an append snapshot
         references prior directories plus the new one, like an Iceberg
@@ -251,9 +257,12 @@ class Warehouse:
     def commit_pending(self, pendings: list[dict[str, Any]]) -> None:
         """Make one or more prepared writes visible in a single atomic
         commit-log replace — a crash before this point leaves every
-        involved table at its prior snapshot (orphan snap dirs are
-        reclaimed by the next writer's rmtree once their reservation
-        expires from the log)."""
+        involved table at its prior snapshot. The table's reservation
+        counter is dropped here (ids stay monotonic via the committed
+        snapshot_id), so the log doesn't grow a permanent 'reserved'
+        entry per table; a crashed reservation's counter is cleared by
+        the table's NEXT successful commit, after which its orphan snap
+        dir is reclaimed by the next writer's rmtree."""
         with self._locked():
             log = self._read_log()
             # apply per-table in snapshot order, and never regress the
@@ -293,6 +302,12 @@ class Warehouse:
                 if p["catalog_table"]:
                     entry["catalog_table"] = p["catalog_table"]
                 log["tables"][table] = entry
+                # reservation served its purpose once the snapshot id is
+                # in log['tables'] — drop it unless a CONCURRENT writer
+                # has already reserved a higher id for this table
+                reserved = log.get("reserved", {})
+                if reserved.get(table, 0) <= entry["snapshot_id"]:
+                    reserved.pop(table, None)
             self._write_log(log)
 
     # --- warehouse metadata (engine schema version etc.) ------------------

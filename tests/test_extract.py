@@ -158,3 +158,56 @@ def test_events_rows_matches_count_on_single_and_multi_file(spark, tmp_path):
     ev = load_events(spark, SF_SMALL)
     ev.repartition(3).write.parquet(f"{multi}/events.parquet")
     assert _events_rows(multi) == ev.count()
+
+
+def test_sparse_event_ids_drop_no_transcript_rows(spark, tmp_path):
+    """ADVICE r5 (medium): the generated-pid universe must cover BOTH
+    corpus-join residue expressions. With event_ids ≡ 30 (mod np) the
+    pid1 set is {30} but every row's pid2 is 37 — an alias_full derived
+    from pid1 residues alone silently drops ALL transcript rows at the
+    corpus inner join (and the oracle, running identical SQL, cannot see
+    the loss). Both engines must retain every turn and stay in parity."""
+    import duckdb as _duckdb
+    from pyspark.sql import functions as F
+
+    from guac_spark import corpus
+
+    n, np_ = 2000, 40  # np = max(25, 2000/50) = 40
+    sf_dir = str(tmp_path / "sparse")
+    ev = spark.range(n).select(
+        (F.col("id") * np_ + 30).alias("event_id"),  # ≡ 30 (mod 40)
+        (F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 3600))
+        .alias("ts"),
+        (F.col("id") % 100).cast("long").alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ["click", "view", "purchase", "error", "signup"]]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("id") % 97).cast("double").alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    ev.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    got_np, _nt = corpus.universe(corpus._events_rows(sf_dir))
+    assert got_np == np_
+    t = corpus.transcripts(spark, sf_dir)
+    assert t.count() == n  # every event becomes a turn — nothing dropped
+
+    # pid2-only residue (37) is in the dictionary universe too
+    adict = corpus.alias_dict(spark, sf_dir)
+    gen_aliases = {
+        r["alias"] for r in adict.filter("kind = 'person'").collect()
+    } - set(corpus.PERSONS)
+    assert len(gen_aliases) == 2  # residues {30, 37}
+
+    # oracle parity on the sparse corpus (shared templates, same counts)
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    dn = con.execute(
+        corpus.duckdb_prelude() + " SELECT count(*) FROM transcripts"
+    ).fetchone()[0]
+    assert dn == n

@@ -81,3 +81,55 @@ def test_rerun_without_resume_recommits(spark):
     assert sorted(map(tuple, r1.tables["triples"].collect())) == sorted(
         map(tuple, r2.tables["triples"].collect())
     )
+
+
+def test_resume_refuses_cross_version_and_legacy_warehouses(spark):
+    """Engine schema gate (ADVICE r4 + r5): resume must refuse BOTH an
+    explicit version mismatch AND a legacy warehouse with committed
+    tables but no schema_version meta at all (every pre-v5 warehouse) —
+    requiring stored_ver to be non-None let resume serve old-formula
+    tables and then restamp them current, hiding the mismatch forever."""
+    from guac_spark import pipeline as pl
+
+    wh_root = tempfile.mkdtemp(prefix="wh_gate_")
+    run_pipeline(spark, SF_SMALL, wh_root)
+    wh = Warehouse(wh_root)
+
+    # explicit cross-version mismatch
+    wh.set_meta("schema_version", pl.SCHEMA_VERSION - 1)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        run_pipeline(spark, SF_SMALL, wh_root, resume=True)
+
+    # legacy: committed tables, schema_version meta absent entirely
+    with wh._locked():
+        log = wh._read_log()
+        log.get("meta", {}).pop("schema_version", None)
+        wh._write_log(log)
+    assert wh.get_meta("schema_version") is None
+    assert wh.committed_tables()  # it IS a populated warehouse
+    with pytest.raises(ValueError, match="refusing to resume"):
+        run_pipeline(spark, SF_SMALL, wh_root, resume=True)
+
+    # an EMPTY unversioned warehouse is a fresh start, not legacy
+    fresh = tempfile.mkdtemp(prefix="wh_fresh_")
+    res = run_pipeline(spark, SF_SMALL, fresh, resume=True)
+    assert res.stages_run  # ran, no refusal
+
+
+def test_reservations_cleared_after_commit(spark):
+    """Snapshot reservations must not outlive their commit (ADVICE r5):
+    the log would otherwise grow a permanent 'reserved' counter per
+    table and crashed reservations would advance ids forever."""
+    wh_root = tempfile.mkdtemp(prefix="wh_resv_")
+    run_pipeline(spark, SF_SMALL, wh_root)
+    wh = Warehouse(wh_root)
+    log = wh._read_log()
+    assert log.get("reserved", {}) == {}
+    # a reservation from a WRITE THAT NEVER COMMITTED survives until the
+    # table's next successful commit, and ids never regress below it
+    df = wh.read(spark, "alias_dict")
+    pend = wh.append_snapshot(df, "alias_dict", defer_commit=True)
+    assert wh._read_log()["reserved"]["alias_dict"] == pend["snap"]
+    snap2 = wh.write_snapshot(df, "alias_dict")
+    assert snap2 > pend["snap"]
+    assert wh._read_log().get("reserved", {}) == {}
