@@ -176,7 +176,9 @@ def topic_k_sql(nt_expr: str) -> str:
     return f"cast(cast(floor(value) AS INT) % {nt_expr} AS STRING)"
 
 
-def alias_dict_sql(np_expr: str, nt_expr: str, dialect: str) -> str:
+def alias_dict_sql(
+    np_expr: str, nt_expr: str, dialect: str, events_rel: str = "events"
+) -> str:
     """alias -> entity_id linking dictionary, derived (FIXTURES.md §2).
 
     Head + generated person aliases, the topic universe actually present
@@ -215,7 +217,7 @@ FROM (
     SELECT event_id % {np_expr} AS p1,
            (event_id + 7) % {np_expr} AS p2,
            {topic_k_sql(nt_expr)} AS tk
-    FROM events
+    FROM {events_rel}
     GROUP BY GROUPING SETS ((event_id % {np_expr}),
                             (((event_id + 7) % {np_expr})),
                             ({topic_k_sql(nt_expr)}))
@@ -393,6 +395,48 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     np_, nt = _prepare_universe(spark, sf_dir)
     return spark.sql(corpus_sql(str(np_), str(nt)))
+
+
+def alias_dict_from_events(
+    spark: SparkSession, events: DataFrame, np_: int, nt: int,
+    rel: str = "events_pinned",
+) -> DataFrame:
+    """Dictionary derivation over an arbitrary events DataFrame at PINNED
+    universe params — the building block for incremental maintenance
+    (universe params must not move between a base derivation and its
+    deltas, exactly like an Iceberg partition spec between appends)."""
+    register_alias_base(spark)
+    events.createOrReplaceTempView(rel)
+    return spark.sql(alias_dict_sql(str(np_), str(nt), "spark",
+                                    events_rel=rel))
+
+
+def alias_dict_delta(
+    spark: SparkSession,
+    new_events: DataFrame,
+    existing_dict: DataFrame,
+    np_: int,
+    nt: int,
+) -> DataFrame:
+    """O(new events) dictionary increment (VERDICT r5 missing #3).
+
+    A real deployment maintains the linking dictionary as a table, not a
+    per-run re-derivation — GUAC's identity trie is incremental by
+    construction (/root/reference/pkg/assembler/backends/keyvalue/
+    pkg.go:314-352: upsert walks type->ns->name and only ALLOCATES for
+    unseen segments). The delta = the dictionary derivation over ONLY the
+    appended events (one scan of the new slice, same shared template)
+    anti-joined against the committed dictionary's alias set — no full
+    re-scan, cost proportional to the append. Universe params are pinned
+    to the base derivation's (np, nt): a parameter change is a
+    schema-evolution event that requires a full rebuild, and
+    pipeline.append_alias_dict enforces it via the warehouse meta."""
+    cand = alias_dict_from_events(
+        spark, new_events, np_, nt, rel="events_delta"
+    )
+    return cand.join(
+        existing_dict.select("alias").distinct(), on="alias", how="left_anti"
+    )
 
 
 def alias_dict(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -133,21 +133,51 @@ def _band_rows(surfaces: pd.Series, side: str) -> pd.DataFrame:
     )
 
 
+# byte popcount table for the vectorized Jaccard (int64 so sums don't wrap)
+_POPCOUNT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
 def _exact_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-    # gram sets computed once per DISTINCT string, not once per pair row
-    cache: dict[str, set] = {}
+    """Whole-batch exact 3-gram Jaccard — no per-pair Python loop.
 
-    def grams(s: str) -> set:
-        got = cache.get(s)
-        if got is None:
-            got = cache[s] = _ngrams(s)
-        return got
-
-    out = np.empty(len(a), dtype=np.float64)
-    for i, (x, y) in enumerate(zip(a, b)):
-        gx, gy = grams(x), grams(y)
-        out[i] = len(gx & gy) / len(gx | gy)
-    return pd.Series(out)
+    Same shape as _minhash_sigs_batch (VERDICT r5 wrong #2): gram sets
+    are computed once per DISTINCT string and packed into a bitset row
+    over the batch's gram vocabulary; per-pair |intersection| is then one
+    vectorized AND + popcount over the two row slices, and |union| =
+    |gx| + |gy| - |intersection| from precomputed set sizes. The gram
+    vocabulary is small by construction (3-grams over [a-z-], ≤ ~20k
+    possible), so a bitset row is a few hundred bytes and a 10k-pair
+    Arrow batch stays a few MB. Bit-identical to the per-pair set-ops
+    loop (pytest-pinned: test_link.test_vectorized_jaccard_matches_setops).
+    """
+    if not len(a):
+        return pd.Series(np.empty(0, dtype=np.float64))
+    codes, uniques = pd.factorize(
+        pd.concat([a, b], ignore_index=True), sort=False
+    )
+    ai, bi = codes[: len(a)], codes[len(a):]
+    vocab: dict[str, int] = {}
+    rows: list[int] = []
+    cols: list[int] = []
+    sizes = np.empty(len(uniques), dtype=np.int64)
+    for i, s in enumerate(uniques):
+        gs = _ngrams(s)
+        sizes[i] = len(gs)
+        for g in gs:
+            rows.append(i)
+            cols.append(vocab.setdefault(g, len(vocab)))
+    r = np.asarray(rows, dtype=np.int64)
+    c = np.asarray(cols, dtype=np.int64)
+    bits = np.zeros((len(uniques), (len(vocab) + 7) >> 3), dtype=np.uint8)
+    # unbuffered |= : duplicate (row, byte) targets must all land
+    np.bitwise_or.at(
+        bits, (r, c >> 3), (np.uint8(1) << (c & 7).astype(np.uint8))
+    )
+    inter = _POPCOUNT[bits[ai] & bits[bi]].sum(axis=1)
+    union = sizes[ai] + sizes[bi] - inter
+    return pd.Series(inter / union, dtype=np.float64)
 
 
 def jaccard_udf():
@@ -220,25 +250,39 @@ def _minhash_bands(df: DataFrame, col: str) -> DataFrame:
     return df.select(col).distinct().mapInPandas(gen, schema)
 
 
+# deterministic block key length. r5 shipped 4; the r6 candidate-volume
+# probe (scripts/link_probe.py, 6.4M turns / 219k unmatched x 128k
+# aliases) measured the 4-char blocks as the dominant junk source:
+# pfx4 = 645k and sfx4 = 450k candidates against ~219k true pairs, vs
+# pfx5/6 ~= true-pairs-only (16^5 = 1M key space >> universe). 5 keeps
+# the formal recall guarantee (below) for every string the universe can
+# contain: all dictionary aliases are >= 10 chars (heads >= 11 by
+# inspection, generated names = 12; pytest-pinned in test_link).
+BLOCK_K = 5
+
+
 def lsh_candidate_pairs(
     unmatched: DataFrame, dict_aliases: DataFrame
 ) -> DataFrame:
     """Candidate (surface, alias) pairs via MinHash-LSH banding plus
-    deterministic prefix-4 AND suffix-4 blocks (each with a coarse length
-    bucket).
+    deterministic prefix-K AND suffix-K blocks (each with a coarse length
+    bucket), K = BLOCK_K.
 
     The deterministic blocks are the recall GUARANTEE, sized for a
-    corpus-proportional universe: any pair whose edits avoid the first 4
-    chars shares the prefix block, any pair whose edits avoid the last 4
+    corpus-proportional universe: any pair whose edits avoid the first K
+    chars shares the prefix block, any pair whose edits avoid the last K
     shares the suffix block — a single contiguous edit (append, prefix
-    change, one substitution on a >=8-char string) is always caught by at
-    least one. 4-char keys keep blocks ~|universe|/alphabet^3 small, so
-    candidate volume stays ~O(universe), not O(universe^2) as the 2-char
-    prefix block became once the dictionary grew with the corpus.
-    MinHash banding covers the residue (multi-edit high-Jaccard pairs).
+    change, one substitution on a >= 2K-char string) is always caught by
+    at least one. K-char keys keep blocks ~|universe|/alphabet^(K-1)
+    small, so candidate volume stays ~O(universe); the r6 probe measured
+    K=4 admitting ~5x true-pair volume in junk once the dictionary grew
+    with the corpus. MinHash banding covers the residue (multi-edit
+    high-Jaccard pairs).
 
     Both inputs are distinct single-column DataFrames: unmatched('surface'),
-    dict_aliases('alias').
+    dict_aliases('alias'). Output is distinct pairs — ONE shuffle over
+    the unioned arms (the per-arm distinct the r5 shape ran on the LSH
+    arm was a second full shuffle of the biggest arm).
     """
     # no forced broadcast: the dictionary side GROWS with the corpus now,
     # so the join strategy is left to Catalyst/AQE — tiny dicts still
@@ -246,11 +290,7 @@ def lsh_candidate_pairs(
     # hash-join on the (uniform) band/block keys
     sb = _minhash_bands(unmatched, "surface")
     ab = _minhash_bands(dict_aliases, "alias")
-    lsh = (
-        sb.join(ab, on=["band", "band_key"])
-        .select("surface", "alias")
-        .distinct()
-    )
+    lsh = sb.join(ab, on=["band", "band_key"]).select("surface", "alias")
 
     def _blocked(k_expr) -> DataFrame:
         pb_s = unmatched.select(
@@ -269,8 +309,8 @@ def lsh_candidate_pairs(
             .select("surface", "alias")
         )
 
-    pfx = _blocked(lambda c: F.substring(c, 1, 4))
-    sfx = _blocked(lambda c: F.substring(c, -4, 4))
+    pfx = _blocked(lambda c: F.substring(c, 1, BLOCK_K))
+    sfx = _blocked(lambda c: F.substring(c, -BLOCK_K, BLOCK_K))
     return lsh.unionByName(pfx).unionByName(sfx).distinct()
 
 
@@ -296,22 +336,29 @@ def link_tail(
     scored = cands.withColumn(
         "jacc", jaccard_udf()(F.col("surface"), F.col("alias"))
     ).filter(F.col("jacc") >= F.lit(threshold))
-    # deterministic argmax per surface (ties -> min alias)
+    # deterministic argmax per surface in ONE aggregation:
+    # min(struct(-jacc, alias)) = highest jacc, ties -> min alias. The r5
+    # shape (groupBy max + re-join scored + filter + groupBy min)
+    # evaluated the candidate generation AND the scorer TWICE (both join
+    # sides) and shuffled three times — the probe measured that
+    # double-evaluation as ~half of link_tail's wall time.
     w_best = (
         scored.groupBy("surface")
-        .agg(F.max("jacc").alias("best_jacc"))
-        .join(scored, on="surface")
-        .filter(F.col("jacc") == F.col("best_jacc"))
-        .groupBy("surface")
-        .agg(F.min("alias").alias("alias"))
-    )
-    return (
-        w_best.join(persons, on="alias")
-        .select(
-            F.concat(F.lit("ent:unk/"), F.col("surface")).alias("src"),
-            F.col("entity_id").alias("dst"),
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("jacc")).alias("nj"), F.col("alias").alias("a")
+                )
+            ).alias("b")
         )
-        .distinct()
+        .select("surface", F.col("b.a").alias("alias"))
+    )
+    # src = ent:unk/<surface> is unique per surface after the argmax —
+    # no trailing distinct needed (the pipeline dedups the union with
+    # the aka arm anyway)
+    return w_best.join(persons, on="alias").select(
+        F.concat(F.lit("ent:unk/"), F.col("surface")).alias("src"),
+        F.col("entity_id").alias("dst"),
     )
 
 

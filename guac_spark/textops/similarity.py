@@ -371,6 +371,7 @@ def ann_topk_ivf(
     k: int = 5,
     nprobe: int = 3,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: (query_id, neighbor_id, rank, cos).
 
@@ -389,10 +390,16 @@ def ann_topk_ivf(
 
     `centroids` plugs in an alternative coarse quantizer (e.g.
     ivf_centroids_kmeans) — assignment and probing always use the SAME
-    centroid set, whatever produced it.
+    centroid set, whatever produced it. `assigned` plugs in a
+    MATERIALIZED inverted file (vec_id, list_id) built from those same
+    centroids: at scale the index is written once (bucketed by list_id)
+    and reused across every query batch instead of re-assigning the
+    corpus per search — scripts/ann_scale_evidence.py measures exactly
+    that split (build once, probe per nprobe).
     """
     cent = ivf_centroids(emb) if centroids is None else centroids
-    assigned = ivf_assign(emb, cent)
+    if assigned is None:
+        assigned = ivf_assign(emb, cent)
     q0 = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("vq"),

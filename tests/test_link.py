@@ -78,3 +78,39 @@ def test_batch_minhash_sigs_match_per_string():
     batch = _minhash_sigs_batch(surfs)
     for i, s in enumerate(surfs):
         assert np.array_equal(batch[i], _minhash_sig(s)), s
+
+
+def test_vectorized_jaccard_matches_setops():
+    """The batched bitset-popcount Jaccard must be bit-identical to the
+    per-pair set-ops definition for every pair shape: identical strings,
+    short (<3-char, whole-string gram) strings, disjoint gram sets,
+    duplicate pairs within one batch, and the corpus's real tails."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefqrstuvwxyz-"
+    strs = ["ab", "a", "abc", "ada-lovelace", "ada-lovelacee",
+            "ada-lovelaceee", "grace-hopper", "xyz"]
+    strs += ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 16)))
+             for _ in range(200)]
+    pairs = [(rng.choice(strs), rng.choice(strs)) for _ in range(2000)]
+    pairs += [(s, s) for s in strs]
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    got = _exact_jaccard(a, b)
+    for i, (x, y) in enumerate(pairs):
+        gx, gy = _ngrams(x), _ngrams(y)
+        want = len(gx & gy) / len(gx | gy)
+        assert got[i] == want, (x, y, got[i], want)
+
+
+def test_block_key_recall_precondition():
+    """BLOCK_K=5's single-contiguous-edit recall guarantee needs every
+    dictionary alias >= 2*BLOCK_K chars (an edit anywhere then leaves the
+    first or last K intact). Heads are literal (checked exhaustively);
+    generated aliases are always 12 chars by construction."""
+    assert 2 * link.BLOCK_K <= 10
+    assert min(len(p) for p in corpus.PERSONS) >= 10
+    # the generated-alias template is substr(sha, 1, 12) -> 12 chars
+    assert "substr" in corpus.gen_alias_expr("pid", "spark")
+    assert ", 1, 12)" in corpus.gen_alias_expr("pid", "spark")
