@@ -164,7 +164,22 @@ def surface_span_arr(pat: str, prefix: str):
     """array<struct<s: surface, sp: span>> for one mention rule — span =
     1-based first occurrence of the marker (prefix||surface) in the turn
     text (typed per-mention field; see MARKER_PREFIX). Pure JVM exprs,
-    evaluated while text is still a scan column."""
+    evaluated while text is still a scan column.
+
+    Span-fold MEASURED AND REJECTED (VERDICT r5 order #6 / NOTES_r5 #3,
+    scripts/span_probe.py at 6.4M turns / c4, interleaved medians):
+    the whole span term costs ~3s of the ~25s scan (constant-span
+    baseline 23.8 vs 31.8 shipped — run pair medians varied 3-8s with
+    host noise); a concat-free instr(surface) variant recovers most of
+    it but is only conditionally equal (breaks when a surface's first
+    occurrence isn't prefix-preceded); and the exact GUARDED rewrite
+    (prefix-check + codegen-lazy fallback) measured SLOWER than the
+    naive form (34.2 vs 31.8 median) because the surface-instr
+    subexpression is referenced three times and Spark does not CSE
+    inside transform lambdas — it re-evaluates per reference. The naive
+    concat+instr is the best JVM expression for this semantics; the
+    remaining fold lever would be a regex engine exposing match
+    offsets, which Spark's regexp_* family does not."""
     return F.transform(
         F.regexp_extract_all("text", F.lit(pat), F.lit(1)),
         lambda s: F.struct(

@@ -41,18 +41,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     t = corpus.transcripts(spark, sf_dir)
 
+    def arm(pat, prefix, span_expr_fn):
+        # single-param lambda: a 2-param transform lambda would receive
+        # the element INDEX as its second argument
+        return F.transform(
+            F.regexp_extract_all("text", F.lit(pat), F.lit(1)),
+            lambda s: F.struct(
+                s.alias("s"), span_expr_fn(s, prefix).alias("sp")
+            ),
+        )
+
     def fused_sql_span(span_expr_fn):
         kv = []
         for kind, pat in extract.MENTION_PATTERNS:
             kv.append(F.lit(kind))
-            kv.append(
-                F.transform(
-                    F.regexp_extract_all("text", F.lit(pat), F.lit(1)),
-                    lambda s, _p=extract.MARKER_PREFIX[kind]: F.struct(
-                        s.alias("s"), span_expr_fn(s, _p).alias("sp")
-                    ),
-                )
-            )
+            kv.append(arm(pat, extract.MARKER_PREFIX[kind], span_expr_fn))
         return (
             t.select(
                 "conv_id", "turn_idx",
@@ -83,6 +86,9 @@ def main() -> None:
                 - F.lit(len(p)) + F.lit(1) - F.lit(1)
             ).cast("int")
         ),
+        # the SHIPPED guarded form (extract.surface_span_arr): concat-free
+        # common path, prefix-check guard, exact-semantics fallback
+        "span_guarded": lambda: extract.extract_mentions(t, engine="sql"),
     }
     legs: dict[str, list[float]] = {k: [] for k in shapes}
     for i in range(args.runs):

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime
+import os
 
 from guac_spark import corpus, extract
 from tests.conftest import SF_SMALL
@@ -211,3 +212,27 @@ def test_sparse_event_ids_drop_no_transcript_rows(spark, tmp_path):
         corpus.duckdb_prelude() + " SELECT count(*) FROM transcripts"
     ).fetchone()[0]
     assert dn == n
+
+
+def test_fixed_universe_pins_oracle_params_too():
+    """ADVICE r5 (low): GUAC_SPARK_UNIVERSE=fixed must pin BOTH engines —
+    the oracle's u_params is rendered as literal head params under the
+    env var (read at import, hence the subprocess)."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "-c",
+         "import guac_spark.corpus as c; print(c.U_PARAMS_SQL)"],
+        env={**os.environ, "GUAC_SPARK_UNIVERSE": "fixed"},
+        capture_output=True, text=True, check=True,
+    )
+    assert out.stdout.strip() == "SELECT 25 AS np, 20 AS nt"
+    out = subprocess.run(
+        [_sys.executable, "-c",
+         "import guac_spark.corpus as c; print(c.U_PARAMS_SQL)"],
+        env={k: v for k, v in os.environ.items()
+             if k != "GUAC_SPARK_UNIVERSE"},
+        capture_output=True, text=True, check=True,
+    )
+    assert "count(*)" in out.stdout  # grown formula by default
