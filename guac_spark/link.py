@@ -240,7 +240,17 @@ def link_exact(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
 
 
 def _minhash_bands(df: DataFrame, col: str) -> DataFrame:
-    """Distinct strings -> (string, band, band_key) via mapInPandas."""
+    """Distinct strings -> (string, band, band_key) via mapInPandas —
+    the shipped path (whole-batch numpy signatures, north-rule
+    vectorized-Arrow shape).
+
+    A pure-JVM alternative exists below (_minhash_bands_jvm,
+    bit-identical, pytest-pinned) and was MEASURED SLOWER at the
+    headline scale point: link_tail 80.1s vs 74.5s median at 25.6M/c4,
+    interleaved (NOTES_r6) — 32 array_min(transform(...)) traversals
+    per row in codegen lose to one amortized numpy matrix pass, even
+    after paying the Arrow transfer. Kept as the measured alternative
+    and as cross-implementation verification of the banding chain."""
     schema = f"{col} string, band int, band_key long"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -248,6 +258,68 @@ def _minhash_bands(df: DataFrame, col: str) -> DataFrame:
             yield _band_rows(pdf[col], col)
 
     return df.select(col).distinct().mapInPandas(gen, schema)
+
+
+def _minhash_bands_jvm(df: DataFrame, col: str) -> DataFrame:
+    """Distinct strings -> (string, band, band_key), pure JVM.
+
+    Bit-identical to the Arrow path (pytest-pinned,
+    test_jvm_bands_match_arrow): Spark's crc32 is the same polynomial as
+    zlib's, (a*crc + b) mod p stays inside int64 (a < 2^31, crc < 2^32),
+    and the band fold (key*MIX + sig) mod p is the same integer
+    recurrence — so the whole signature/banding chain runs inside
+    whole-stage codegen with no Arrow transfer and no Python gram loop.
+    MEASURED AND NOT SHIPPED (see _minhash_bands): 80.1 vs 74.5s median
+    link_tail at 25.6M/c4 — the 32 per-row array traversals cost more
+    than the Arrow round-trip saves. Duplicate grams are harmless under
+    min, so no per-string gram dedup is needed. Each stage materializes
+    its array as a column before fan-out reference — Spark does NOT
+    common-subexpression-eliminate inside a Project, so referencing a
+    computed array 32 times would recompute it 32 times.
+    """
+    rows_per_band = N_HASHES // N_BANDS
+    grams = F.when(
+        F.length(col) < NGRAM, F.array(F.col(col))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - (NGRAM - 1)),
+            lambda i: F.col(col).substr(i, F.lit(NGRAM)),
+        )
+    )
+    crcs = F.transform(grams, lambda g: F.crc32(F.encode(g, "UTF-8")))
+
+    def _sig(h: int):
+        # closure helper: a 2-param transform lambda would receive the
+        # element INDEX as its second argument (same pyspark trap as
+        # NOTES_r6 span probe)
+        a, b = int(_A[h]), int(_B[h])
+        return F.array_min(
+            F.transform(
+                F.col("_crcs"),
+                lambda c: (F.lit(a) * c + F.lit(b)) % F.lit(_PRIME),
+            )
+        )
+
+    sigs = F.array(*[_sig(h) for h in range(N_HASHES)])
+    keys = []
+    for b in range(N_BANDS):
+        k = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            k = (
+                k * F.lit(_MIX)
+                + F.element_at("_sigs", b * rows_per_band + r + 1)
+            ) % F.lit(_PRIME)
+        keys.append(k)
+    return (
+        df.select(col)
+        .distinct()
+        .select(F.col(col), crcs.alias("_crcs"))
+        .select(F.col(col), sigs.alias("_sigs"))
+        .select(
+            F.col(col),
+            F.posexplode(F.array(*keys)).alias("band", "band_key"),
+        )
+    )
 
 
 # deterministic block key length. r5 shipped 4; the r6 candidate-volume

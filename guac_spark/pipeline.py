@@ -183,10 +183,16 @@ def run_pipeline(
         # aka pairs come from the committed mentions_linked snapshot
         # (kind='aka' rows emitted by the fused extraction scan) — the
         # equivalences stage reads back a tiny column-pruned slice
-        # instead of re-scanning the full transcript corpus
-        aka = linked.filter(F.col("kind") == "aka").select(
-            F.col("surface").alias("surface_a"),
-            F.col("surface_b"),
+        # instead of re-scanning the full transcript corpus. DISTINCT
+        # the raw surface pairs BEFORE resolution: ~10.3M per-turn aka
+        # rows collapse to ~771k distinct pairs at 25.6M turns, so the
+        # two resolution joins and the final union-distinct run on
+        # ~13x fewer (and shorter) rows — measured −4s at c4
+        # (BENCH_equiv_r6.json, identical output pinned there)
+        aka = (
+            linked.filter(F.col("kind") == "aka")
+            .select(F.col("surface").alias("surface_a"), F.col("surface_b"))
+            .distinct()
         )
         aka_res = assemble.resolve_surfaces(
             aka, adict, ["surface_a", "surface_b"]

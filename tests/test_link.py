@@ -114,3 +114,22 @@ def test_block_key_recall_precondition():
     # the generated-alias template is substr(sha, 1, 12) -> 12 chars
     assert "substr" in corpus.gen_alias_expr("pid", "spark")
     assert ", 1, 12)" in corpus.gen_alias_expr("pid", "spark")
+
+
+def test_jvm_bands_match_arrow(spark):
+    """The pure-JVM banding path must be BIT-IDENTICAL to the Arrow
+    reference (same crc32 polynomial, same int64 modular chain, same
+    band fold) on every string shape: short (<3 chars), heads, tails,
+    generated-alphabet names."""
+    strs = ["a", "ab", "abc", "ada-lovelace", "ada-lovelacee",
+            "grace-hopper", "qrstuvwxyzab", "mystery-guest-a",
+            "tool_purchase"]
+    df = spark.createDataFrame([(s,) for s in strs], "surface string")
+    jvm = sorted(
+        map(tuple, link._minhash_bands_jvm(df, "surface").collect())
+    )
+    arrow = sorted(
+        map(tuple, link._minhash_bands(df, "surface").collect())
+    )
+    assert jvm == arrow
+    assert len(jvm) == len(strs) * link.N_BANDS
