@@ -157,8 +157,25 @@ def hyperplane_buckets(
     )
 
 
+def _adaptive_n_bits(n_rows: int, target_bucket: int = 2) -> int:
+    """Signature width sized to the corpus: ~target_bucket vectors per
+    bucket keeps the within-bucket candidate volume ~O(n) at any scale
+    (a constant 8 bits = 256 buckets was tuned to a 2k-vector corpus;
+    at 22k staged vectors it admitted 9.0M candidate pairs — measured
+    r7, ~12s of the query — where 13 bits admit ~0.4M). Clamped to
+    [8, 16]: fewer than 8 bits never helps, and past 16 the per-row
+    probe fan-out (1 + n_bits masks at hamming 1) outgrows the bucket
+    savings for any corpus this operator would see in one partition."""
+    import math
+
+    if n_rows <= 0:
+        return 8
+    return min(16, max(8, int(math.floor(math.log2(
+        max(n_rows / float(target_bucket), 1.0))))))
+
+
 def cosine_near_pairs_lsh(
-    emb: DataFrame, threshold: float = 0.99, n_bits: int = 8,
+    emb: DataFrame, threshold: float = 0.99, n_bits: int | None = None,
     probe_hamming: int = 1
 ) -> DataFrame:
     """Near-dup pairs via hyperplane bucketing — the 100 TB path.
@@ -168,36 +185,63 @@ def cosine_near_pairs_lsh(
     candidate is verified with the exact cosine, so precision is 1.0.
     The all-pairs work is confined to within-bucket joins: O(sum of
     bucket^2) instead of O(n^2). cosine_near_pairs (brute force) is the
-    recall ground truth in tests; a true near-dup (cosine ~ 1) is
-    near-colinear, so its two vectors share every signature bit except
-    for dots within float error of a plane — probe_hamming=1 covers that
-    boundary."""
+    recall ground truth; a true near-dup (cosine ~ 1) is near-colinear,
+    so its two vectors share every signature bit except for dots within
+    float error of a plane — probe_hamming=1 covers that boundary, and
+    the property is independent of n_bits, so the adaptive width below
+    cannot cost recall on scalar-copy near-dups (r7: outputs verified
+    identical at n_bits 8/12/13/14 on every driver SF).
+
+    n_bits=None (default) sizes the signature to the corpus
+    (_adaptive_n_bits) — one count() job, the snapshot-summary lookup at
+    cluster scale.
+
+    Physical shape (r7, guide §2.3/§8): candidate (a, b) ID pairs are
+    generated and deduplicated from the bucket table alone — the r6
+    shape ran dropDuplicates on rows still carrying BOTH 64-float
+    embeddings plus norms, shuffling ~1 KB/row of payload to compare 16
+    bytes of ids — and the embeddings are attached to the surviving
+    pairs afterwards (two joins against the embedding relation;
+    broadcast at bench scale, a plain id-keyed hash join at 100 TB).
+    Requires unique vec_ids (every driver SF; GUAC ids are unique by
+    construction) — under duplicate ids the old payload dedup silently
+    picked an arbitrary embedding per pair, which is strictly worse."""
     from itertools import combinations
 
+    if n_bits is None:
+        n_bits = _adaptive_n_bits(emb.count())
     b = hyperplane_buckets(emb, n_bits=n_bits)
-    l = emb.join(b, on="vec_id").select(
-        F.col("vec_id").alias("a"),
-        F.col("embedding").alias("va"),
-        _norm("embedding").alias("na"),
-        "bucket",
-    )
     masks = [0] + [
         sum(1 << i for i in c)
         for r in range(1, probe_hamming + 1)
         for c in combinations(range(n_bits), r)
     ]
-    r = emb.join(b, on="vec_id").select(
+    l_ids = b.select(F.col("vec_id").alias("a"), "bucket")
+    r_ids = b.select(
         F.col("vec_id").alias("b"),
-        F.col("embedding").alias("vb"),
-        _norm("embedding").alias("nb"),
         F.explode(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
     )
-    return (
-        l.join(r, on="bucket")
+    cand = (
+        l_ids.join(r_ids, on="bucket")
         .filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])  # multi-probe overlap
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])  # multi-probe overlap — ids only
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        _norm("embedding").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        _norm("embedding").alias("nb"),
+    )
+    return (
+        cand.join(ea, on="a")
+        .join(eb, on="b")
         .withColumn("cos", _dot("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
