@@ -333,7 +333,26 @@ def bfs_distances(edges: DataFrame, seed: str, max_hops: int = 4,
     Iterative frontier expansion: per hop, one hash join frontier⋈edges and
     one anti-join against visited. Set-at-a-time — the whole frontier moves
     in one shuffle regardless of node count (vs GUAC's RPC-per-node BFS).
-    localCheckpoint per hop cuts lineage for deep traversals.
+
+    Physical shape (r7, guide §2.4 — measured at sf1.0/c32, 490k-node
+    closure, interleaved):
+      * the adjacency union is NOT pre-distinct'd/checkpointed: that was a
+        full shuffle + materialization of 2x|E| rows before the first hop,
+        while each hop's own distinct already dedups the expansion
+        (duplicate adj rows only duplicate offers); the hops stream the
+        (bucketed, column-pruned) edge scan instead;
+      * the visited set is a lazy union of the checkpointed hop layers,
+        not re-checkpointed every hop (the layers are already
+        materialized blocks — re-checkpointing re-copied the whole
+        growing closure once per hop);
+      * the FINAL hop is returned lazily (no checkpoint, no count): its
+        frontier is the largest layer (at sf1.0, 489,783 of 489,892
+        reached nodes arrive in the last hop), and materializing it
+        inside the loop just to re-evaluate it for the caller's action
+        doubled the most expensive hop. Callers run one action over the
+        result (count/collect/one downstream join), so the last hop
+        executes exactly once.
+    Together: 8.6s -> 5.1s median (3 reps, same session).
 
     The frontier/visited sets are broadcast ONLY while provably small
     (row-count check per hop); once they grow past BROADCAST_ROW_LIMIT the
@@ -349,10 +368,11 @@ def bfs_distances(edges: DataFrame, seed: str, max_hops: int = 4,
         adj = adj.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    adj = adj.distinct().localCheckpoint(eager=True)
 
-    visited = spark.createDataFrame([(seed, 0)], "node string, dist int")
-    frontier = visited
+    seed_df = spark.createDataFrame([(seed, 0)], "node string, dist int")
+    visited_parts = [seed_df]
+    visited_nodes = seed_df.select("node")
+    frontier = seed_df
     n_frontier, n_visited = 1, 1
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -360,18 +380,25 @@ def bfs_distances(edges: DataFrame, seed: str, max_hops: int = 4,
                      frontier["node"] == adj["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(_maybe_broadcast(visited.select("node"), n_visited),
+            .join(_maybe_broadcast(visited_nodes, n_visited),
                   on="node", how="left_anti")
             .withColumn("dist", F.lit(hop))
         )
+        if hop == max_hops:
+            visited_parts.append(nxt)
+            break
         nxt = nxt.localCheckpoint(eager=True)
         n_frontier = nxt.count()
         if n_frontier == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited_parts.append(nxt)
+        visited_nodes = visited_nodes.unionByName(nxt.select("node"))
         n_visited += n_frontier
         frontier = nxt
-    return visited
+    out = visited_parts[0]
+    for p in visited_parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def shortest_path_len(edges: DataFrame, a: str, b: str, max_hops: int = 6,
