@@ -64,6 +64,19 @@ def get_spark(
         .config("spark.sql.maxConcurrentOutputFileWriters", "8")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.io.compression.codec", "zstd")
+        # scan-split floor (guide §6): the test SFs are single small
+        # parquet files, and with the default 4 MB openCostInBytes a
+        # 16 MB file never splits below 4 tasks — heavyweight scan
+        # stages (GROUPING SETS expand over events, Python banding over
+        # documents) ran on ~4 of the requested cores (measured r7:
+        # alias_dict stage 7.2s -> 1.2s at sf1.0/c32 with the floor).
+        # Both values derive from the requested parallelism / the input,
+        # not a bench constant: minPartitionNum is the documented
+        # "suggested minimum split count" (2 waves per core), and the
+        # lower open-cost only affects files under a few MB — a cluster
+        # table's 128 MB - 1 GB files still split by maxPartitionBytes.
+        .config("spark.sql.files.minPartitionNum", str(2 * cpus))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

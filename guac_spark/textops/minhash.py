@@ -102,26 +102,35 @@ def signatures_batch(
     # index occurrences into the DISTINCT shingle vocabulary: the costly
     # int64 modular matrix runs once per distinct shingle (931 distinct vs
     # 332k occurrences on the sf0.1 corpus — template-heavy text is the
-    # norm at 100 TB), then a cheap gather expands to occurrence slots
-    cache: dict[str, int] = {}
-    vocab_hashes: list[int] = []
-    flat_idx = np.empty(int(counts.sum()), dtype=np.int64)
-    k = 0
-    for s in shingle_lists:
-        for t in (s if s else ("",)):
-            i = cache.get(t)
-            if i is None:
-                i = len(vocab_hashes)
-                vocab_hashes.append(shingle_hash(t))
-                cache[t] = i
-            flat_idx[k] = i
-            k += 1
-    uniq = np.asarray(vocab_hashes, dtype=np.int64)
-    # [n_hashes, n_distinct]: (a*x + b) mod p (a,x < 2^31 -> a*x < 2^62: int64-safe)
-    H = (a[:, None] * uniq[None, :] + b[:, None]) % _PRIME
-    hashed = H[:, flat_idx]  # gather to [n_hashes, total_occurrences]
+    # norm at 100 TB), then a cheap gather expands to occurrence slots.
+    # The occurrence -> vocab-index map is pd.factorize (one C pass over
+    # the flattened occurrences) — the r6 per-occurrence Python dict loop
+    # was ~5.6M interpreter iterations per batch at sf1.0 and dominated
+    # the banding stage; md5 still runs once per DISTINCT shingle only.
+    from itertools import chain
+
+    flat_occ = np.fromiter(
+        chain.from_iterable((s if s else ("",)) for s in shingle_lists),
+        dtype=object, count=int(counts.sum()),
+    )
+    flat_idx, vocab = pd.factorize(flat_occ, sort=False)
+    uniq = np.fromiter(
+        (shingle_hash(t) for t in vocab), dtype=np.int64, count=len(vocab)
+    )
+    # [n_hashes, n_distinct]: (a*x + b) mod p (a,x < 2^31 -> a*x < 2^62:
+    # int64-safe); the result is < p < 2^31, so the gathered matrix is
+    # int32 — half the bytes through the bandwidth-bound gather/reduce.
+    H = ((a[:, None] * uniq[None, :] + b[:, None]) % _PRIME).astype(
+        np.int32
+    )
+    # row-major gather [occurrences, n_hashes] + reduceat along axis 0:
+    # each segment min reduces over C-contiguous 96-wide rows (SIMD),
+    # where the r6 column-layout reduceat walked a strided [96, occ]
+    # matrix segment-by-segment — measured 2.7s -> 0.45s per 10k-doc
+    # batch (534k occurrences), bit-identical output.
+    gathered = np.ascontiguousarray(H.T)[flat_idx]
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    return np.minimum.reduceat(hashed, starts, axis=1).T  # [n_docs, n_hashes]
+    return np.minimum.reduceat(gathered, starts, axis=0).astype(np.int64)
 
 
 def band_keys(sigs: np.ndarray, n_bands: int) -> np.ndarray:
