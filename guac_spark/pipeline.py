@@ -138,16 +138,32 @@ def run_pipeline(
         wh.set_meta("universe", {"np": np_, "nt": nt})
         return df
 
-    adict = stage("alias_dict", _build_adict)
+    # alias_dict and transcripts are independent (both derive from events
+    # + the universe views) — submit both write jobs concurrently exactly
+    # like the vertices/edges pair below (guide §2.6: overlap independent
+    # jobs so one stage's barrier tail back-fills the other's tasks; at
+    # the cold start this also overlaps the first stage's JIT warmup).
+    # The universe views/cache are registered once BEFORE the threads:
+    # the per-stage _prepare_universe calls inside are then idempotent
+    # (view replace with an identical definition, CacheManager hit on
+    # the same canonical plan).
+    corpus._prepare_universe(spark, sf_dir)
 
     # transcripts are written BUCKETED on conv_id: the derivation window
     # already hash-shuffles on conv_id, so the bucket layout costs no new
     # exchange — and every downstream corpus pass inherits it
-    transcripts = stage(
-        "transcripts",
-        lambda: corpus.transcripts(spark, sf_dir),
-        bucket_by=(N_BUCKETS, ["conv_id"]),
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa = ex.submit(stage, "alias_dict", _build_adict)
+        ft = ex.submit(
+            stage,
+            "transcripts",
+            lambda: corpus.transcripts(spark, sf_dir),
+            bucket_by=(N_BUCKETS, ["conv_id"]),
+        )
+        adict = fa.result()
+        transcripts = ft.result()
 
     def build_linked() -> DataFrame:
         # fused extraction: mention rows AND aka equivalence rows from ONE
@@ -239,8 +255,6 @@ def run_pipeline(
     # and from nothing else — submit both write jobs concurrently so the
     # Spark scheduler interleaves their tasks (hides each stage's barrier
     # tail behind the other's work; the commit log is lock-guarded)
-    from concurrent.futures import ThreadPoolExecutor
-
     with ThreadPoolExecutor(max_workers=2) as ex:
         fv = ex.submit(stage, "vertices", lambda: assemble.vertices(triples))
         fe = ex.submit(stage, "edges", lambda: assemble.edges(triples))

@@ -391,12 +391,22 @@ def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     the assigned table IS the inverted file — write it partitioned or
     bucketed by list_id and each probe reads only its lists.
     """
+    # norms precomputed ONCE per side (r7): _cos_cols re-evaluated
+    # _norm(v) and _norm(cvec) for every (vector, centroid) pair — at
+    # 20k vectors x nlist centroids that folded each 64-dim array 3x per
+    # pair; the quotient nv*ncv keeps the original operand order so cos
+    # is bit-identical (same doubles, same argmax, oracle unchanged)
+    e = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("v"),
+        _norm("embedding").alias("nv"),
+    )
+    c = cent.select("list_id", "cvec", _norm("cvec").alias("ncv"))
     scored = (
-        emb.select(F.col("vec_id"), F.col("embedding").alias("v"))
-        .join(F.broadcast(cent))
+        e.join(F.broadcast(c))
         .select(
             "vec_id",
-            _cos_cols("v", "cvec").alias("cos"),
+            (_dot("v", "cvec") / (F.col("nv") * F.col("ncv"))).alias("cos"),
             F.col("list_id"),
         )
     )
