@@ -92,12 +92,18 @@ def _minhash_sigs_batch(surfaces: list[str]) -> np.ndarray:
     vals = np.array(
         [zlib.crc32(g.encode("utf-8")) for g in vocab], dtype=np.int64
     )
-    hashed = (_A[:, None] * vals[None, :] + _B[:, None]) % _PRIME
-    gathered = hashed[:, np.array(flat, dtype=np.int64)]
+    # hashed values are < p < 2^31 -> int32 halves the gather bytes, and
+    # the row-major [occurrences, N_HASHES] layout lets reduceat min over
+    # C-contiguous rows (same SIMD-friendly shape as textops/minhash.py
+    # r7) — bit-identical signatures
+    hashed = ((_A[:, None] * vals[None, :] + _B[:, None]) % _PRIME).astype(
+        np.int32
+    )
+    gathered = np.ascontiguousarray(hashed.T)[np.array(flat, dtype=np.int64)]
     # every surface yields >= 1 gram (_ngrams returns {s} when short)
     return np.minimum.reduceat(
-        gathered, np.array(starts[:-1], dtype=np.int64), axis=1
-    ).T
+        gathered, np.array(starts[:-1], dtype=np.int64), axis=0
+    ).astype(np.int64)
 
 
 _MIX = 1_000_003
