@@ -138,6 +138,32 @@ def run_pipeline(
         wh.set_meta("universe", {"np": np_, "nt": nt})
         return df
 
+    # Python-worker pool prewarm (guide §4.5 heavyweight-init-once, moved
+    # to where it overlaps JVM work): the first Arrow/pandas stage of a
+    # cold process pays ~cores worker spawns + numpy/pandas imports
+    # mid-pipeline — in this pipeline that lands on the equivalences
+    # stage's banding. A trivial background mapInPandas job spins the
+    # pool up while the JVM-only head stages run (workers are reused,
+    # spark.python.worker.reuse default). Measured r7, cold
+    # pipeline-only at sf1.0/c32, 2x2 interleaved: equivalences
+    # 8.4s -> 6.5s, value -1.5..-2.8s net of head-stage contention.
+    import threading
+
+    def _prewarm_python_workers() -> None:
+        try:
+            def gen(batches):
+                import numpy  # noqa: F401
+                import pandas  # noqa: F401
+                yield from batches
+
+            n = spark.sparkContext.defaultParallelism
+            (spark.range(n).repartition(n).mapInPandas(gen, "id long")
+             .write.format("noop").mode("overwrite").save())
+        except Exception:  # noqa: BLE001 — best-effort warmup only
+            pass
+
+    threading.Thread(target=_prewarm_python_workers, daemon=True).start()
+
     # alias_dict and transcripts are independent (both derive from events
     # + the universe views) — submit both write jobs concurrently exactly
     # like the vertices/edges pair below (guide §2.6: overlap independent
