@@ -284,6 +284,12 @@ def connected_components(
         if frontier_n == 0:
             break
     else:
+        # free the loop's live checkpoint blocks before raising — the
+        # non-convergence path otherwise leaks executor storage
+        # (ADVICE r6)
+        for _ck in (e_ck, cur_ck):
+            if _ck is not None:
+                _ck.unpersist(False)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
         )

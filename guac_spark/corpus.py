@@ -105,10 +105,18 @@ PERSON_DIV = 50                # one generated person per 50 turns
 TOPIC_DIV = 250                # one generated topic per 250 turns
 
 
+# snapshot the universe pin at import: U_PARAMS_SQL (the oracle side) is
+# rendered at import time, so the Spark side must read the flag at the
+# same moment — a per-call read would let a process that mutates the env
+# var after import grow one engine's universe but not the other's
+# (ADVICE r6). All users set the var before spawning the process.
+_UNIVERSE_FIXED = os.environ.get("GUAC_SPARK_UNIVERSE") == "fixed"
+
+
 def universe(n_events: int) -> tuple[int, int]:
     """(np, nt) for a corpus of n_events turns — the Python rendering of
     the exact formula the oracle computes in SQL (u_params CTE)."""
-    if os.environ.get("GUAC_SPARK_UNIVERSE") == "fixed":
+    if _UNIVERSE_FIXED:
         return HEAD, N_TOPICS
     return (
         max(HEAD, math.floor(n_events / float(PERSON_DIV))),
@@ -293,7 +301,7 @@ JOIN alias_full a2 ON a2.pid = n.pid2
 # GUAC_SPARK_UNIVERSE=fixed pins BOTH engines (ADVICE r5: pinning only the
 # Spark side made the oracle compute the grown universe and report
 # spurious mismatches) — read at import, like the Spark-side universe()
-if os.environ.get("GUAC_SPARK_UNIVERSE") == "fixed":
+if _UNIVERSE_FIXED:
     U_PARAMS_SQL = f"SELECT {HEAD} AS np, {N_TOPICS} AS nt"
 else:
     U_PARAMS_SQL = (

@@ -163,6 +163,12 @@ def _exact_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
     codes, uniques = pd.factorize(
         pd.concat([a, b], ignore_index=True), sort=False
     )
+    if codes.min() < 0:
+        # factorize maps nulls to -1, which would negative-index the last
+        # bitset row and silently score a (None, x) pair as the last
+        # distinct string — fail loudly like the old per-pair loop's
+        # TypeError (ADVICE r6)
+        raise ValueError("_exact_jaccard: null surface/alias in batch")
     ai, bi = codes[: len(a)], codes[len(a):]
     vocab: dict[str, int] = {}
     rows: list[int] = []
@@ -181,7 +187,16 @@ def _exact_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
     np.bitwise_or.at(
         bits, (r, c >> 3), (np.uint8(1) << (c & 7).astype(np.uint8))
     )
-    inter = _POPCOUNT[bits[ai] & bits[bi]].sum(axis=1)
+    # chunked popcount: _POPCOUNT[...] materializes an int64 array 8x the
+    # AND'd bitset slice — unchunked, a 10k-pair batch over a ~20k-gram
+    # vocab is a ~200 MB transient per Python worker (ADVICE r6); 2048-
+    # pair chunks bound it to a few MB with identical sums
+    inter = np.empty(len(ai), dtype=np.int64)
+    for lo in range(0, len(ai), 2048):
+        hi = lo + 2048
+        inter[lo:hi] = _POPCOUNT[
+            bits[ai[lo:hi]] & bits[bi[lo:hi]]
+        ].sum(axis=1)
     union = sizes[ai] + sizes[bi] - inter
     return pd.Series(inter / union, dtype=np.float64)
 

@@ -261,8 +261,11 @@ class Warehouse:
         counter is dropped here (ids stay monotonic via the committed
         snapshot_id), so the log doesn't grow a permanent 'reserved'
         entry per table; a crashed reservation's counter is cleared by
-        the table's NEXT successful commit, after which its orphan snap
-        dir is reclaimed by the next writer's rmtree."""
+        the table's NEXT successful commit. The crashed reservation's
+        orphan snap DIRECTORY is leaked on disk (snapshot ids are
+        strictly monotonic, so no writer ever re-reserves that id to
+        rmtree it — ADVICE r6); a real Iceberg deployment's analog is
+        orphan-file cleanup, a maintenance job, not the write path."""
         with self._locked():
             log = self._read_log()
             # apply per-table in snapshot order, and never regress the
