@@ -544,11 +544,18 @@ def toposort_levels(edges: DataFrame, pred: str = "replies_to",
         cross-group edges and as the cycle-detection reference.
     mode='auto' picks grouped iff every edge is conv-local.
     """
+    # no distinct, no checkpoint (r7): the edge-table input is already
+    # unique on (src, dst, pred) by construction, and Kahn levels are
+    # invariant under duplicate edges anyway (a dup inflates a node's
+    # in-degree count and its decrement equally; level = max over offers
+    # is idempotent) — the distinct was a full shuffle + materialization
+    # of the subgraph before the first real job (measured 2.8s of the
+    # 4.4s query at sf1.0 cold). The two consumers (conv-locality probe,
+    # grouped/peel solver) re-scan the pruned, column-pruned edge
+    # relation instead — two cheap scans.
     e = (
         edges.filter(F.col("pred") == pred)
         .select(F.col("src").alias("child"), F.col("dst").alias("parent"))
-        .distinct()
-        .localCheckpoint(eager=True)
     )
     if mode == "auto":
         probe = e.withColumn(
