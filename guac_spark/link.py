@@ -37,18 +37,22 @@ from pyspark.sql import functions as F
 # --- deterministic MinHash parameters (frozen for P/R reproducibility,
 #     the analog of GUAC's fixed FNV node keys,
 #     /root/reference/pkg/assembler/backends/keyvalue/backend.go:375-388) ---
-# 8 bands x 4 rows (r1-r4: 16x2). Per-band collision probability is J^rows,
-# so 2-row bands admitted ~J^2 false candidates — at the r4 universe (~80
-# tail surfaces) that was noise, but with a corpus-proportional universe
-# (~1M distinct tail surfaces x ~0.5M dictionary aliases) J≈0.01 random
-# pairs at J^2*16 ≈ 0.2% meant millions of junk Jaccard evaluations. 4-row
-# bands push random-pair collisions to ~J^4*8 ≈ 1e-7 while the
+# 4 bands x 8 rows (r1-r4: 16x2; r5-r6: 8x4). Per-band collision
+# probability is J^rows: 2-row bands admitted ~J^2 false candidates (junk
+# at a corpus-proportional universe), 4-row bands pushed random pairs to
+# ~1e-7, and the r6 anatomy showed the REMAINING LSH volume was ~85%
+# true-pair band duplicates (a J≈0.9 pair collides in ~5 of 8 bands)
+# feeding the candidate union-distinct. 8-row bands (r7, the lever the
+# r6 verdict ordered) halve the band rows per surface and cut true-pair
+# duplicate collisions to ~1.9 of 4 bands — measured −8..−12% on the
+# equivalences stage at 8M turns/c32, outputs byte-identical at
+# sf0.001/0.01/0.1/1.0 AND the 8M-turn replica (459,594 links). The
 # deterministic prefix+suffix blocks (below) carry the recall guarantee
 # for the edit-tails; banding is free to change — the oracle's ground
 # truth is exact Jaccard, and recall is pinned by the independent
-# pure-Python test (tests/test_link.py).
+# pure-Python ground-truth test (tests/test_link.py).
 N_HASHES = 32
-N_BANDS = 8  # 4 rows per band
+N_BANDS = 4  # 8 rows per band
 _PRIME = 2_147_483_647
 _rng = np.random.RandomState(42)
 _A = _rng.randint(1, _PRIME, size=N_HASHES).astype(np.int64)
